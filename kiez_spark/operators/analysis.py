@@ -1,0 +1,149 @@
+"""Hubness analysis measures as Spark aggregations.
+
+Re-expresses /root/reference/kiez/analysis/estimation.py over a long-format
+neighbor table (query_id, rank, cand_id). The k-occurrence histogram
+(numpy bincount, estimation.py:292) is a group-count right-joined onto the
+full entity range (zero-fill); every scalar measure is then an aggregation
+over that histogram:
+
+- k_skewness:           population skewness m3/m2^1.5 (scipy.stats.skew
+                        default == Spark's skewness() formula)
+- k_skewness_truncnorm: scipy truncnorm(a,b).moment(3) closed form
+                        (raw 3rd moment of the lower-truncated std normal)
+- gini:                 sort-based O(n log n) equivalent of the pairwise
+                        |xi-xj| formula (equivalence is tested in the
+                        reference, tests/analysis/test_estimation.py:46-52)
+- robinhood, atkinson, antihub/hub occurrence, groupie ratio: direct aggs
+
+All measures return in ONE job over the histogram — cheap at any scale
+(the histogram has one row per entity, not per pair).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kiez_spark.functions.vectors import erfc_expr
+
+_SQRT2PI = math.sqrt(2.0 * math.pi)
+_SQRT2 = math.sqrt(2.0)
+
+
+def k_occurrence(
+    nn_df: DataFrame,
+    n_entities: int,
+    k: int | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reverse-neighbor counts, zero-filled over entity ids 0..n_entities-1.
+
+    nn_df: (query_id, cand_id[, rank]); ranks are 1-based. Negative cand_id
+    (the reference's missing-neighbor sentinel) is mask-filtered
+    (estimation.py:285-289).
+    """
+    spark = nn_df.sparkSession
+    filtered = nn_df.filter(F.col("cand_id") >= 0)
+    if k is not None and rank_col in nn_df.columns:
+        filtered = filtered.filter(F.col(rank_col) <= k)
+    counts = filtered.groupBy("cand_id").count()
+    # the reference's bincount uses minlength=n, growing for larger ids
+    ids = spark.range(n_entities).select(F.col("id").alias("entity_id"))
+    extra = counts.select(F.col("cand_id").alias("entity_id")).filter(
+        F.col("entity_id") >= n_entities
+    )
+    universe = ids.unionByName(extra).distinct()
+    return (
+        universe.join(counts, universe["entity_id"] == counts["cand_id"], "left")
+        .select(
+            "entity_id",
+            F.coalesce(F.col("count"), F.lit(0)).cast("bigint").alias("k_occ"),
+        )
+    )
+
+
+def hubness_measures(
+    k_occ: DataFrame,
+    k: int,
+    target_samples: int,
+    hub_size: float = 2.0,
+    include_gini: bool = True,
+) -> DataFrame:
+    """One-row DataFrame of all scalar hubness measures over a k-occurrence
+    table (entity_id, k_occ). Mirrors estimation.py:197-351."""
+    x = F.col("k_occ").cast("double")
+
+    # gini needs a rank; compute it on a sorted projection first
+    w = Window.orderBy(F.col("k_occ").asc(), F.col("entity_id").asc())
+    ranked = k_occ.select(x.alias("x"), F.row_number().over(w).alias("i"))
+
+    aggs = ranked.agg(
+        F.count("x").alias("n"),
+        F.sum("x").alias("sx"),
+        F.avg("x").alias("mu"),
+        F.stddev_samp("x").alias("sd1"),
+        F.max("x").alias("mx"),
+        F.avg(F.pow("x", 0.5)).alias("m_half"),
+        F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("n_anti"),
+        F.sum(F.when(F.col("x") >= hub_size * k, F.col("x")).otherwise(0.0)).alias(
+            "hub_sum"
+        ),
+        F.sum((2.0 * F.col("i") - 1.0) * F.col("x")).alias("gini_num_part"),
+        F.skewness("x").alias("k_skewness"),
+    )
+
+    # second pass for |x - mu| (needs the global mean) — tiny broadcast join
+    mu_row = F.broadcast(aggs.select("mu"))
+    abs_dev = (
+        ranked.crossJoin(mu_row)
+        .agg(F.sum(F.abs(F.col("x") - F.col("mu"))).alias("sad"))
+    )
+
+    joined = aggs.crossJoin(F.broadcast(abs_dev))
+
+    n = F.col("n").cast("double")
+    a = (F.lit(0.0) - F.col("mu")) / F.col("sd1")
+    phi_a = F.exp(-0.5 * a * a) / F.lit(_SQRT2PI)
+    sf_a = F.lit(0.5) * erfc_expr(a / F.lit(_SQRT2))
+    lam = phi_a / sf_a
+
+    out = joined.select(
+        F.col("k_skewness"),
+        (2.0 * lam + a * a * lam).alias("k_skewness_truncnorm"),
+        (1.0 - F.pow(F.col("m_half"), 2.0) / F.col("mu")).alias("atkinson"),
+        ((F.col("gini_num_part") - n * F.col("sx")) / (n * F.col("sx"))).alias(
+            "gini"
+        ),
+        (0.5 * F.col("sad") / F.col("sx")).alias("robinhood"),
+        (F.col("n_anti") / n).alias("antihub_occurrence"),
+        (F.col("hub_sum") / F.lit(float(k)) / F.lit(float(target_samples))).alias(
+            "hub_occurrence"
+        ),
+        (F.col("mx") / F.lit(float(target_samples)) / F.lit(float(k))).alias(
+            "groupie_ratio"
+        ),
+    )
+    if not include_gini:
+        out = out.drop("gini")
+    return out
+
+
+def hubness_score(
+    nn_df: DataFrame,
+    n_queries: int,
+    target_samples: int,
+    k: int | None = None,
+    hub_size: float = 2.0,
+) -> DataFrame:
+    """Driver mirroring estimation.py:197-351: k-truncate, mask negatives,
+    histogram, all measures. nn_df needs (query_id, cand_id, rank)."""
+    occ = k_occurrence(nn_df, n_queries, k)
+    if k is None:
+        k = (
+            nn_df.agg(F.max("rank")).first()[0]
+            if "rank" in nn_df.columns
+            else nn_df.groupBy("query_id").count().agg(F.max("count")).first()[0]
+        )
+    return hubness_measures(occ, k, target_samples, hub_size)

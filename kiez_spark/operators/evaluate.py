@@ -1,0 +1,94 @@
+"""Evaluation metrics: hits@k and pairwise precision/recall/F1.
+
+hits@k mirrors /root/reference/kiez/evaluate/eval_metrics.py:7-61: the
+fraction of gold (src -> tgt) pairs whose tgt appears among src's top-k
+neighbors; one conditional aggregate per k, a single join overall.
+
+pairwise_f1 is the record-linkage extension ([ext], BASELINE.json
+north_rule): precision/recall/F1 over unordered matched pairs vs gold
+pairs — the ≥0.99 acceptance metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hits_at_k(
+    nn_df: DataFrame,
+    gold: DataFrame,
+    ks: tuple[int, ...] = (1, 5, 10),
+) -> DataFrame:
+    """nn_df: (query_id, cand_id, rank); gold: (src_id, tgt_id), one tgt
+    per src (a dict in the reference). Returns one row per k: (k, hits)."""
+    n_gold = gold.count()
+    matched = nn_df.join(
+        gold,
+        (nn_df["query_id"] == gold["src_id"]) & (nn_df["cand_id"] == gold["tgt_id"]),
+    ).select("src_id", "rank")
+    per_src = matched.groupBy("src_id").agg(F.min("rank").alias("best_rank"))
+    rows = []
+    spark = nn_df.sparkSession
+    agg = per_src.agg(
+        *[
+            F.sum(F.when(F.col("best_rank") <= kk, 1).otherwise(0)).alias(f"h{kk}")
+            for kk in sorted(ks)
+        ]
+    ).first()
+    for kk in sorted(ks):
+        rows.append((kk, (agg[f"h{kk}"] or 0) / n_gold))
+    return spark.createDataFrame(rows, "k int, hits double")
+
+
+def _canon_pairs(df: DataFrame, a: str, b: str) -> DataFrame:
+    """Unordered pair canonicalization (u < v) + dedup + self-pair drop."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def pairwise_f1(
+    pred_pairs: DataFrame,
+    gold_pairs: DataFrame,
+    pred_cols: tuple[str, str] = ("src_id", "tgt_id"),
+    gold_cols: tuple[str, str] = ("src_id", "tgt_id"),
+) -> DataFrame:
+    """One-row DataFrame (tp, fp, fn, precision, recall, f1)."""
+    pred = _canon_pairs(pred_pairs, *pred_cols)
+    gold = _canon_pairs(gold_pairs, *gold_cols)
+    tp = pred.join(gold, ["u", "v"], "inner").count()
+    n_pred = pred.count()
+    n_gold = gold.count()
+    fp = n_pred - tp
+    fn = n_gold - tp
+    precision = tp / n_pred if n_pred else 0.0
+    recall = tp / n_gold if n_gold else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
+    spark = pred_pairs.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, precision, recall, f1)],
+        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+def clusters_to_pairs(assignments: DataFrame, id_col: str = "id",
+                      comp_col: str = "component") -> DataFrame:
+    """Expand cluster assignments to all within-cluster unordered pairs.
+
+    Self-join on the component id — quadratic per cluster by definition of
+    pairwise metrics; gold clusters are small so this stays cheap.
+    """
+    a = assignments.select(F.col(comp_col).alias("c"), F.col(id_col).alias("u"))
+    b = assignments.select(F.col(comp_col).alias("c"), F.col(id_col).alias("v"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )

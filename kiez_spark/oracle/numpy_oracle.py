@@ -215,7 +215,11 @@ def robinhood_index(k_occ: np.ndarray) -> float:
 
 def atkinson_index(k_occ: np.ndarray, eps: float = 0.5) -> float:
     if eps == 1:
-        term = np.prod(k_occ) ** (1.0 / k_occ.size)
+        # geometric mean via exp(mean(log)) — equals the reference's
+        # prod**(1/n) (estimation.py:146) without int overflow; any zero
+        # k-occ makes it 0 in both forms
+        x = np.asarray(k_occ, dtype=np.float64)
+        term = 0.0 if (x == 0).any() else float(np.exp(np.mean(np.log(x))))
     else:
         term = np.mean(k_occ ** (1 - eps)) ** (1 / (1 - eps))
     return float(1.0 - term / k_occ.mean())

@@ -1,0 +1,94 @@
+"""hits@k (reference fixture values, tests/evaluate/test_eval_metrics.py)
+and connected-components correctness."""
+
+import numpy as np
+
+from kiez_spark.operators import clustering as C
+from kiez_spark.operators import evaluate as E
+
+
+def test_hits_reference_fixture(spark):
+    """nn=[[1,2,3],[2,3,4],[3,4,5],[4,5,6]], gold={0:2,1:4,2:3,3:4}
+    => hits {1: 0.5, 2: 0.75, 3: 1.0} (test_eval_metrics.py:6-48)."""
+    nn = [[1, 2, 3], [2, 3, 4], [3, 4, 5], [4, 5, 6]]
+    rows = [(i, r + 1, v) for i, lst in enumerate(nn) for r, v in enumerate(lst)]
+    nn_df = spark.createDataFrame(rows, "query_id bigint, rank int, cand_id bigint")
+    gold = spark.createDataFrame(
+        [(0, 2), (1, 4), (2, 3), (3, 4)], "src_id bigint, tgt_id bigint"
+    )
+    got = {r.k: r.hits for r in E.hits_at_k(nn_df, gold, ks=(1, 2, 3)).collect()}
+    assert got == {1: 0.5, 2: 0.75, 3: 1.0}
+
+    disjoint = spark.createDataFrame(
+        [(0, 5), (1, 6), (2, 7), (3, 8)], "src_id bigint, tgt_id bigint"
+    )
+    got0 = {r.k: r.hits for r in E.hits_at_k(nn_df, disjoint, ks=(1, 2, 3)).collect()}
+    assert got0 == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_pairwise_f1(spark):
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "src_id bigint, tgt_id bigint"
+    )
+    gold = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 5)], "src_id bigint, tgt_id bigint"
+    )
+    row = E.pairwise_f1(pred, gold).first()
+    assert row.tp == 2 and row.fp == 1 and row.fn == 1
+    assert row.f1 == (2 * (2 / 3) * (2 / 3)) / (4 / 3)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # components: {0,1,2,3} (chain), {10,11}, singleton {20}
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src_id bigint, tgt_id bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 10, 11, 20]], "id bigint")
+    got = {
+        r.id: r.component
+        for r in C.connected_components(pairs, nodes).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_random_vs_numpy(spark):
+    """Random graph vs a simple union-find oracle."""
+    rng = np.random.RandomState(3)
+    n = 120
+    edges = [(int(a), int(b)) for a, b in rng.randint(0, n, size=(100, 2)) if a != b]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    exp = {}
+    for i in range(n):
+        root = find(i)
+        exp[i] = min(exp.get(root, root), root)
+    # normalize: component id = min member id
+    comp_min: dict[int, int] = {}
+    for i in range(n):
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    expected = {i: comp_min[find(i)] for i in range(n)}
+
+    pairs = spark.createDataFrame(edges, "src_id bigint, tgt_id bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+    got = {r.id: r.component for r in C.connected_components(pairs, nodes).collect()}
+    assert got == expected
+
+
+def test_clusters_to_pairs(spark):
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (9, 9)], "id bigint, component bigint"
+    )
+    pairs = {(r.u, r.v) for r in E.clusters_to_pairs(assign).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
