@@ -1,0 +1,129 @@
+"""End-to-end record-linkage pipeline (the north_star flow).
+
+repos_files(repo, path, commit, lang, content)
+  -> stage "embeddings":  hash-feature vectors + content_sha invariant
+  -> stage "candidates":  blocking + kNN + hubness rescore (HubnessKnn),
+                          sha re-attached per query row
+  -> stage "pairs":       distance threshold on RAW distance + candidate
+                          rank gate; canonicalized unordered pairs
+  -> stage "clusters":    large-star/small-star connected components;
+                          singletons included; sha re-attached
+
+Every stage checkpoints through StageCheckpointer (resume + lineage +
+metrics + sha invariant, see checkpoint.py). Pass checkpoint_dir=None to
+run purely in-memory (tests).
+
+Matching rule: a candidate pair is a match when its *raw* distance is
+<= max_dist AND it survived the hubness-reduced top-k (rank <= k). The
+hubness transform decides WHICH candidates surface; the absolute gate
+keeps far-apart pairs out of the transitive closure (transitivity
+amplifies false positives — a single bad edge merges two clusters).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kiez_spark.checkpoint import StageCheckpointer
+from kiez_spark.operators import clustering as C
+from kiez_spark.pipeline import HubnessKnn, PipelineConfig
+from kiez_spark.synth import derive_embeddings
+
+
+@dataclass
+class LinkageResult:
+    embeddings: DataFrame
+    candidates: DataFrame
+    pairs: DataFrame
+    clusters: DataFrame
+    checkpointer: StageCheckpointer | None
+
+
+def link_files(
+    spark: SparkSession,
+    files: DataFrame,
+    *,
+    dim: int = 32,
+    k: int = 5,
+    n_candidates: int = 10,
+    hubness: str = "csls",
+    metric: str = "euclidean",
+    tier: str = "pandas",
+    max_dist: float | None = None,
+    checkpoint_dir: str | None = None,
+    lsh_tables: int = 8,
+    lsh_bits: int = 10,
+    lsh_bucket_width: float = 4.0,
+) -> LinkageResult:
+    ckpt = StageCheckpointer(spark, checkpoint_dir) if checkpoint_dir else None
+
+    def run_stage(name, build):
+        return ckpt.stage(name, build) if ckpt else build()
+
+    emb = run_stage("embeddings", lambda: derive_embeddings(files, dim=dim))
+
+    def build_candidates() -> DataFrame:
+        eng = HubnessKnn(
+            PipelineConfig(
+                n_candidates=n_candidates,
+                k=k,
+                metric=metric,
+                hubness=hubness,
+                tier=tier,
+                lsh_tables=lsh_tables,
+                lsh_bits=lsh_bits,
+                lsh_bucket_width=lsh_bucket_width,
+            )
+        )
+        eng.fit(emb.select("id", "vec"))
+        nn = eng.kneighbors(k)
+        # hubness-reduced rank + the RAW distance for absolute gating,
+        # + the sha invariant of the query row
+        from kiez_spark.functions.vectors import distance_expr
+
+        qv = emb.select(F.col("id").alias("query_id"), F.col("vec").alias("_qv"),
+                        F.col("content_sha"))
+        xv = emb.select(F.col("id").alias("cand_id"), F.col("vec").alias("_xv"))
+        return (
+            nn.join(qv, "query_id")
+            .join(xv, "cand_id")
+            .select(
+                "query_id",
+                "cand_id",
+                "dist",
+                "rank",
+                distance_expr(F.col("_qv"), F.col("_xv"), metric).alias("raw_dist"),
+                "content_sha",
+            )
+        )
+
+    cands = run_stage("candidates", build_candidates)
+
+    def build_pairs() -> DataFrame:
+        p = cands.filter(F.col("rank") <= k)
+        if max_dist is not None:
+            p = p.filter(F.col("raw_dist") <= max_dist)
+        return (
+            p.select(
+                F.least("query_id", "cand_id").alias("src_id"),
+                F.greatest("query_id", "cand_id").alias("tgt_id"),
+            )
+            .filter(F.col("src_id") != F.col("tgt_id"))
+            .distinct()
+        )
+
+    pairs = run_stage("pairs", build_pairs)
+
+    def build_clusters() -> DataFrame:
+        assign = C.connected_components(
+            pairs, nodes=emb.select("id"), pair_cols=("src_id", "tgt_id")
+        )
+        return assign.join(
+            emb.select("id", "content_sha"), "id"
+        ).select("id", "component", "content_sha")
+
+    clusters = run_stage("clusters", build_clusters)
+    return LinkageResult(emb, cands, pairs, clusters, ckpt)

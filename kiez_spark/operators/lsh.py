@@ -1,0 +1,157 @@
+"""Approximate candidate generation: LSH bucket joins.
+
+Replaces the reference's ANN backends (faiss HNSW/IVF, nmslib, NGT, annoy —
+/root/reference/kiez/neighbors/approximate/) with locality-sensitive
+hashing re-expressed as Spark joins:
+
+- cosine:    random-hyperplane signatures (sign bits of projections onto
+             seeded Gaussian directions), packed per table into one long —
+             candidates = equi-join on (table, signature)
+- euclidean: bucketed random projection, h = floor(<v, r>/w) per
+             projection, tuple-hashed per table (the same family as
+             Spark MLlib's BucketedRandomProjectionLSH and the reference's
+             Annoy RP-trees, random_projection_trees.py)
+
+OR-amplification across ``n_tables`` tables controls recall (the
+``n_candidates`` over-retrieval knob of the reference maps here,
+SURVEY.md §4); AND-amplification within a table (``n_bits`` /
+``n_projections``) controls bucket selectivity.
+
+Scale design: signatures are computed in ONE Arrow-batched pandas UDF per
+side (a (batch x d) @ (d x n_tables*n_bits) matmul), exploded to
+(table, sig) rows, and joined — a plain shuffled equi-join that AQE can
+skew-split. Candidate pairs are deduped BEFORE the exact distance is
+computed, so each surviving pair is scored exactly once.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kiez_spark.functions.vectors import distance_expr
+
+
+def _projections(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(dim, n_tables * n_bits)
+
+
+def signatures(
+    df: DataFrame,
+    metric: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_tables: int = 8,
+    n_bits: int = 12,
+    bucket_width: float = 2.0,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table, sig): one signature row per (entity, hash table)."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"])
+    proj = _projections(dim, n_tables, n_bits, seed)
+    src = df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    is_cosine = metric in ("cosine", "cos")
+    bw = float(bucket_width)
+    nt, nb = n_tables, n_bits
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one matmul per Arrow batch; bits packed into one int64 per table
+        weights = np.arange(nb, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.stack(pdf["vec"].to_numpy())
+            h = mat @ proj  # (n, nt*nb)
+            if is_cosine:
+                codes = (h > 0).astype(np.int64).reshape(-1, nt, nb)
+                sigs = (codes << weights).sum(axis=2)
+            else:
+                buckets = np.floor(h / bw).astype(np.int64).reshape(-1, nt, nb)
+                # mix bucket tuple into one 64-bit key (splitmix-style)
+                acc = np.zeros((buckets.shape[0], nt), dtype=np.uint64)
+                for b in range(nb):
+                    acc ^= (buckets[:, :, b].astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+                            + (acc << np.uint64(6)) + (acc >> np.uint64(2)))
+                sigs = acc.astype(np.int64)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(np.int64), nt),
+                    "table": np.tile(np.arange(nt, dtype=np.int32), n),
+                    "sig": sigs.ravel(),
+                }
+            )
+
+    return src.mapInPandas(kernel, schema="id bigint, table int, sig bigint")
+
+
+def lsh_candidates(
+    queries: DataFrame,
+    index: DataFrame,
+    metric: str = "cosine",
+    *,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    n_tables: int = 8,
+    n_bits: int = 12,
+    bucket_width: float = 2.0,
+    seed: int = 42,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate candidate pairs with exact distances:
+    (query_id, cand_id, dist). Feed to knn.topk for the final k."""
+    common = dict(
+        id_col=id_col, vec_col=vec_col, n_tables=n_tables, n_bits=n_bits,
+        bucket_width=bucket_width, seed=seed,
+    )
+    dim = int(queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
+    qs = signatures(queries, metric, dim=dim, **common)
+    xs = signatures(index, metric, dim=dim, **common)
+    pairs = (
+        qs.alias("q")
+        .join(xs.alias("x"), ["table", "sig"])
+        .select(F.col("q.id").alias("query_id"), F.col("x.id").alias("cand_id"))
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("cand_id"))
+    pairs = pairs.distinct()  # score each surviving pair exactly once
+    qv = queries.select(
+        F.col(id_col).cast("bigint").alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    xv = index.select(
+        F.col(id_col).cast("bigint").alias("cand_id"),
+        F.col(vec_col).cast("array<double>").alias("xv"),
+    )
+    return (
+        pairs.join(qv, "query_id")
+        .join(xv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            distance_expr(F.col("qv"), F.col("xv"), metric).alias("dist"),
+        )
+    )
+
+
+def lsh_recall(approx_nn: DataFrame, exact_nn: DataFrame) -> float:
+    """Fraction of exact top-k pairs recovered by the approximate tier —
+    the exact-vs-approx agreement semantic of the reference's Faiss tests
+    (tests/neighbors/test_faiss.py:22-46)."""
+    hit = approx_nn.select("query_id", "cand_id").intersect(
+        exact_nn.select("query_id", "cand_id")
+    )
+    total = exact_nn.count()
+    return (hit.count() / total) if total else 1.0

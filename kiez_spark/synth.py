@@ -1,0 +1,180 @@
+"""Deterministic, fully-distributed synthetic `repos_files` generator.
+
+Produces the input_hint table (repo, path, commit, lang, content) with
+planted near-duplicate clusters so gold entity clusters are known by
+construction (FIXTURES.md F1). Everything is derived from the row id with
+seeded xxhash64 column expressions — no driver-side data, no RNG state —
+so the generator scales to any row count on any cluster and is
+reproducible bit-for-bit at any parallelism.
+
+Layout: ids [0, n_dup) form clusters of ``cluster_size`` near-duplicates
+(each non-primary member differs from its cluster's base content by one
+token edit); ids [n_dup, n) are singletons with unique content. The
+``lang`` column is deliberately skewed (~50% one language) to exercise
+salted-repartition / AQE-skew paths (FIXTURES.md skew requirement).
+
+Embeddings are hash-feature vectors of the token stream: dim j of the
+vector is the sum over tokens of a token-and-j-seeded value in [-1, 1] —
+a one-token edit moves the vector by O(1/sqrt(L)), so near-duplicates are
+also nearest neighbors in embedding space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LANGS = ["py", "java", "c", "go", "rs"]
+# ~50% of rows land on 'py' (indices 0-4 of the 10-slot wheel)
+_LANG_WHEEL = ["py", "py", "py", "py", "py", "java", "java", "c", "go", "rs"]
+
+
+def repos_files(
+    spark: SparkSession,
+    n: int = 1000,
+    cluster_size: int = 4,
+    dup_fraction: float = 0.6,
+    tokens_per_file: int = 40,
+    vocab: int = 500,
+    seed: int = 42,
+) -> DataFrame:
+    """The input table + gen columns (row_id, cluster_id, is_clustered)."""
+    n_dup = int(n * dup_fraction) // cluster_size * cluster_size
+    L = tokens_per_file
+
+    df = spark.range(n).select(F.col("id").alias("row_id"))
+    is_clustered = F.col("row_id") < n_dup
+    cluster_id = F.when(
+        is_clustered, (F.col("row_id") / cluster_size).cast("bigint")
+    ).otherwise(F.col("row_id") + 10_000_000)
+    member_idx = F.col("row_id") % cluster_size
+
+    df = df.withColumn("cluster_id", cluster_id).withColumn(
+        "is_clustered", is_clustered
+    )
+
+    # base token t of a cluster: hash(cluster_id, t, seed) into the vocab
+    tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(L - 1)),
+        lambda t: F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(F.col("cluster_id") * 1315423911 + t, F.lit(seed)),
+                F.lit(vocab),
+            ).cast("string"),
+        ),
+    )
+    # non-primary cluster members: replace ONE token (id-chosen position)
+    edit_pos = F.pmod(F.xxhash64(F.col("row_id"), F.lit(seed + 1)), F.lit(L))
+    edit_tok = F.concat(
+        F.lit("m"),
+        F.pmod(F.xxhash64(F.col("row_id"), F.lit(seed + 2)), F.lit(vocab)).cast(
+            "string"
+        ),
+    )
+    # singletons: every token position re-seeded by row_id (unique content)
+    uniq_tokens = F.transform(
+        F.sequence(F.lit(0), F.lit(L - 1)),
+        lambda t: F.concat(
+            F.lit("u"),
+            F.pmod(
+                F.xxhash64(F.col("row_id") * 2654435761 + t, F.lit(seed + 3)),
+                F.lit(vocab * 50),
+            ).cast("string"),
+        ),
+    )
+    mutated = F.transform(
+        tokens,
+        lambda tok, i: F.when(
+            is_clustered & (member_idx > 0) & (i == edit_pos), edit_tok
+        ).otherwise(tok),
+    )
+    content = F.when(is_clustered, F.concat_ws(" ", mutated)).otherwise(
+        F.concat_ws(" ", uniq_tokens)
+    )
+
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANG_WHEEL]),
+        (F.pmod(F.xxhash64(F.col("row_id"), F.lit(seed + 4)), F.lit(10)) + 1).cast(
+            "int"
+        ),
+    )
+    repo = F.concat(
+        F.lit("org"),
+        F.pmod(F.xxhash64(F.col("row_id"), F.lit(seed + 5)), F.lit(50)).cast("string"),
+        F.lit("/proj"),
+        F.pmod(F.xxhash64(F.col("row_id"), F.lit(seed + 6)), F.lit(10)).cast("string"),
+    )
+    path = F.concat(F.lit("src/f"), F.col("row_id").cast("string"), F.lit(".txt"))
+    commit = F.substring(F.sha2(F.col("row_id").cast("string"), 256), 1, 40)
+
+    return df.select(
+        "row_id",
+        "cluster_id",
+        "is_clustered",
+        repo.alias("repo"),
+        path.alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def with_sha(files: DataFrame) -> DataFrame:
+    """The per-row invariant column (BASELINE.json input_hint):
+    sha256(content), carried through every stage."""
+    return files.withColumn("content_sha", F.sha2(F.col("content"), 256))
+
+
+def derive_embeddings(
+    files: DataFrame, dim: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, vec, content_sha) hash-feature embeddings of the token stream.
+
+    dim j = sum over tokens of (hash(token, j, seed) mod 2001 - 1000)/1000
+    — pure column expressions (nested transform/aggregate), JVM-side.
+    """
+    toks = F.split(F.col("content"), " ")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc
+            + (
+                F.pmod(F.xxhash64(t, j.cast("long"), F.lit(seed)), F.lit(2001)).cast(
+                    "double"
+                )
+                - 1000.0
+            )
+            / 1000.0,
+        ),
+    )
+    out = files.withColumn("content_sha", F.sha2(F.col("content"), 256))
+    return out.select(
+        F.col("row_id").alias("id"),
+        vec.alias("vec"),
+        "content_sha",
+    )
+
+
+def gold_clusters(files: DataFrame) -> DataFrame:
+    """(id, component) gold assignment from generator metadata."""
+    return files.select(
+        F.col("row_id").alias("id"),
+        F.when(F.col("is_clustered"), F.col("cluster_id"))
+        .otherwise(F.col("row_id") + 10_000_000)
+        .alias("component"),
+    )
+
+
+def gold_pairs(files: DataFrame) -> DataFrame:
+    """All within-cluster unordered pairs (src_id, tgt_id), u < v."""
+    members = files.filter(F.col("is_clustered")).select("row_id", "cluster_id")
+    a = members.select(F.col("cluster_id").alias("c"), F.col("row_id").alias("src_id"))
+    b = members.select(F.col("cluster_id").alias("c"), F.col("row_id").alias("tgt_id"))
+    return (
+        a.join(b, "c")
+        .filter(F.col("src_id") < F.col("tgt_id"))
+        .select("src_id", "tgt_id")
+    )
