@@ -1,0 +1,275 @@
+"""Deduplication operators over a documents table ([ext] training-data set).
+
+Five tiers, cheapest-first — the standard large-corpus dedup ladder:
+
+- exact:        groupBy sha256(text); one shuffle of (hash, id)
+- minhash-LSH:  shingle -> minhash signature -> banded bucket join ->
+                exact-Jaccard verification of surviving pairs only
+- simhash:      64-bit fingerprints, banded join, Hamming filter
+- ngram-jaccard: inverted-index join on shingles (exact, quadratic within
+                a shingle's posting list — document-frequency cap bounds
+                hot shingles, the classic skew guard)
+- embedding:    cosine near-dup via the LSH tier (operators/lsh.py)
+
+Scale notes: every operator is join+agg only (no driver collect); banded
+joins shuffle on the band key so AQE skew-split applies; the df-cap on the
+inverted index keeps the worst posting list O(cap^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kiez_spark.functions import text as T
+from kiez_spark.functions.vectors import cosine_distance
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(dup_hash, n_docs, keep_id, doc_ids) for groups with >1 member;
+    keep_id = min id (the canonical survivor)."""
+    h = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("dup_hash"),
+    )
+    return (
+        h.groupBy("dup_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _with_shingles(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    tok = T.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.array_distinct(T.shingles(tok, shingle_n)).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one pass, column exprs only."""
+    params = T.minhash_params(n_hashes, seed)
+    shingled = _with_shingles(df, id_col, text_col, shingle_n)
+    sig = F.array(*[T.minhash_value(F.col("sh"), a, b) for a, b in params])
+    return shingled.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs (src_id, tgt_id, jaccard) with exact-Jaccard
+    verification: banding surfaces candidates (any band equal), the
+    shingle-set join verifies. src_id < tgt_id."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src_id"), F.col("b.doc_id").alias("tgt_id")
+        )
+        .distinct()
+    )
+    shingled = _with_shingles(df, id_col, text_col, shingle_n)
+    a = shingled.select(F.col("doc_id").alias("src_id"), F.col("sh").alias("sha_"))
+    b = shingled.select(F.col("doc_id").alias("tgt_id"), F.col("sh").alias("shb_"))
+    inter = F.size(F.array_intersect(F.col("sha_"), F.col("shb_")))
+    union = F.size(F.col("sha_")) + F.size(F.col("shb_")) - inter
+    return (
+        cand.join(a, "src_id")
+        .join(b, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard >= threshold pairs via an inverted-index self-join.
+
+    Shingles appearing in more than ``max_doc_freq`` docs are dropped from
+    the index (not from the denominator) — the classic df-cap that bounds
+    the hottest posting list's quadratic blowup; with threshold t, a pair
+    sharing ONLY capped shingles is unreachable, which is acceptable for
+    near-dup mining (capped shingles are boilerplate by definition).
+    """
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+        "n_sh", F.size("sh")
+    )
+    posting = shingled.select(
+        "doc_id", "n_sh", F.explode("sh").alias("shingle")
+    )
+    df_counts = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    posting = posting.join(
+        df_counts.filter(F.col("df") <= max_doc_freq), "shingle"
+    )
+    common = (
+        posting.alias("a")
+        .join(posting.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src_id"),
+            F.col("b.doc_id").alias("tgt_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("common")
+    )
+    return common.select(
+        "src_id", "tgt_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+) -> DataFrame:
+    """(doc_id, simhash BIGINT)."""
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        T.simhash64(T.tokens(F.col(text_col)), bits).alias("simhash"),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bits: int = 60,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming. Banding on bit slices:
+    any pair within max_hamming < bands must agree on >= 1 band
+    (pigeonhole), so the banded equi-join is recall-complete for
+    max_hamming <= bands - 1 differing *bands*; with uniformly spread bit
+    flips this holds overwhelmingly — the verification filter is exact."""
+    band_bits = bits // bands
+    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits)
+                    % F.lit(1 << band_bits)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src_id"),
+            F.col("b.doc_id").alias("tgt_id"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    max_cos_dist: float = 0.05,
+    approx: bool = False,
+    **lsh_kwargs,
+) -> DataFrame:
+    """(src_id, tgt_id, cos_dist <= max) — exact expr join or LSH tier."""
+    if approx:
+        from kiez_spark.operators.lsh import lsh_candidates
+
+        cands = lsh_candidates(
+            emb, emb, "cosine", id_col=id_col, vec_col=vec_col,
+            exclude_self=True, **lsh_kwargs,
+        )
+        return (
+            cands.filter(F.col("dist") <= max_cos_dist)
+            .filter(F.col("query_id") < F.col("cand_id"))
+            .select(
+                F.col("query_id").alias("src_id"),
+                F.col("cand_id").alias("tgt_id"),
+                F.col("dist").alias("cos_dist"),
+            )
+        )
+    v = emb.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("src_id"),
+            F.col("b.id").alias("tgt_id"),
+            cosine_distance(F.col("a.vec"), F.col("b.vec")).alias("cos_dist"),
+        )
+        .filter(F.col("cos_dist") <= max_cos_dist)
+    )

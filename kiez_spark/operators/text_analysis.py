@@ -1,0 +1,96 @@
+"""Text-analysis operators over a documents table ([ext] training-data set).
+
+All pure column expressions (whole-stage codegen; no Python in the hot
+path) with exact DuckDB-SQL counterparts for the correctness oracle:
+
+- token_count:        whitespace tokens
+- quality features:   char count, token count, avg token length,
+                      alnum ratio, stopword ratio, uniqueness ratio
+- lang-id heuristic:  argmax over per-language stopword hit counts,
+                      'und' (undetermined) when nothing hits
+- fingerprint:        order-sensitive polynomial rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kiez_spark.functions import text as T
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    tok = T.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(tok).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+    )
+
+
+def quality_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, avg_token_len, alnum_ratio,
+    stop_ratio_en, uniq_ratio, quality) — quality is a simple bounded
+    composite: long-enough docs with word-like tokens score high."""
+    tok = T.tokens(F.col(text_col))
+    n_chars = F.length(F.col(text_col)).cast("double")
+    n_tokens = F.size(tok).cast("double")
+    alnum = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    ).cast("double")
+    stop_en = T.stopword_hits(tok, "en").cast("double")
+    uniq = F.size(F.array_distinct(tok)).cast("double")
+    avg_tok = F.when(n_tokens > 0, (alnum / n_tokens)).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_chars > 0, alnum / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_en / n_tokens).otherwise(F.lit(0.0))
+    uniq_ratio = F.when(n_tokens > 0, uniq / n_tokens).otherwise(F.lit(0.0))
+    quality = F.least(
+        F.lit(1.0),
+        (
+            F.least(n_tokens / 20.0, F.lit(1.0)) * 0.4
+            + alnum_ratio * 0.3
+            + uniq_ratio * 0.3
+        ),
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok, 6).alias("avg_token_len"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio_en"),
+        F.round(uniq_ratio, 6).alias("uniq_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred, lang_hits) via stopword votes; deterministic
+    tie-break = lexicographic language code; 'und' when zero hits."""
+    tok = T.tokens(F.col(text_col))
+    langs = sorted(T.STOPWORDS)
+    hits = {lang: T.stopword_hits(tok, lang) for lang in langs}
+    best_hits = F.greatest(*[hits[lang] for lang in langs])
+    pred = F.lit("und")
+    # build reverse so earlier (lexicographically smaller) langs win ties
+    for lang in reversed(langs):
+        pred = F.when(
+            (hits[lang] == best_hits) & (best_hits > 0), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        pred.alias("lang_pred"),
+        best_hits.cast("int").alias("lang_hits"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fingerprint) rolling-hash document fingerprint —
+    order-sensitive (unlike sha), so permuted token streams differ."""
+    tok = T.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        T.rolling_fingerprint(tok).alias("fingerprint"),
+    )

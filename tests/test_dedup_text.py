@@ -1,0 +1,151 @@
+"""Dedup + text-analysis + multimodal + similarity operators over the
+driver-provided documents/embeddings tables and planted synthetic dups."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kiez_spark import synth
+from kiez_spark.operators import dedup as D
+from kiez_spark.operators import multimodal as M
+from kiez_spark.operators import similarity as SIM
+from kiez_spark.operators import text_analysis as TA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Synthetic docs with known near-dup clusters: reuse repos_files
+    content as (doc_id, text)."""
+    files = synth.repos_files(spark, n=200, cluster_size=4, dup_fraction=0.6)
+    return files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    ).cache(), files
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a  B c")],
+        "doc_id bigint, text string",
+    )
+    groups = D.exact_duplicates(df).collect()
+    assert len(groups) == 1
+    assert groups[0].doc_ids == [1, 2]  # 4 differs (case/whitespace kept)
+
+
+def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
+    docs, files = dup_docs
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, n_hashes=16, bands=8)
+    got = {(r.src_id, r.tgt_id) for r in pairs.collect()}
+    gold = {(r.src_id, r.tgt_id) for r in synth.gold_pairs(files).collect()}
+    recall = len(got & gold) / len(gold)
+    precision = len(got & gold) / max(1, len(got))
+    assert recall > 0.95, f"minhash recall {recall}"
+    assert precision > 0.95, f"minhash precision {precision}"
+
+
+def test_minhash_vs_ngram_jaccard_agree(spark, dup_docs):
+    """The LSH-verified pairs must be a subset of exact inverted-index
+    Jaccard pairs at the same threshold (both verify exactly)."""
+    docs, _ = dup_docs
+    lsh = {
+        (r.src_id, r.tgt_id)
+        for r in D.minhash_lsh_pairs(docs, threshold=0.6, n_hashes=16, bands=8).collect()
+    }
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) / max(1, len(exact)) > 0.9  # high recall at 8 bands
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    docs, files = dup_docs
+    pairs = D.simhash_pairs(docs, max_hamming=12, bands=6)
+    got = {(r.src_id, r.tgt_id) for r in pairs.collect()}
+    gold = {(r.src_id, r.tgt_id) for r in synth.gold_pairs(files).collect()}
+    # one-token edits flip few simhash bits; most gold pairs are caught
+    assert len(got & gold) / len(gold) > 0.8
+
+
+def test_embedding_neardup_exact_vs_approx(spark, dup_docs):
+    docs, files = dup_docs
+    emb = synth.derive_embeddings(files, dim=32)
+    exact = {
+        (r.src_id, r.tgt_id)
+        for r in D.embedding_neardup_pairs(emb, max_cos_dist=0.05).collect()
+    }
+    approx = {
+        (r.src_id, r.tgt_id)
+        for r in D.embedding_neardup_pairs(
+            emb, max_cos_dist=0.05, approx=True, n_tables=8, n_bits=12
+        ).collect()
+    }
+    assert approx <= exact
+    assert len(approx & exact) / max(1, len(exact)) > 0.9
+
+
+def test_text_analysis_ops(spark, docs):
+    n = docs.count()
+    tc = TA.token_counts(docs, "doc_id", "text")
+    assert tc.count() == n
+    row = tc.filter("n_tokens <= 0").count()
+    assert row == 0
+    q = TA.quality_features(docs, "doc_id", "text")
+    stats = q.agg(F.min("quality"), F.max("quality")).first()
+    assert 0.0 <= stats[0] and stats[1] <= 1.0
+    li = TA.lang_id(docs, "doc_id", "text")
+    assert li.count() == n
+    fp = TA.fingerprints(docs, "doc_id", "text")
+    # order sensitivity: permuted tokens give a different fingerprint
+    two = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha")],
+        "doc_id bigint, text string",
+    )
+    f2 = TA.fingerprints(two).collect()
+    assert f2[0].fingerprint != f2[1].fingerprint
+    assert fp.count() == n
+
+
+def test_multimodal_plumbing(spark, docs):
+    blobs = M.pack_blobs(docs.limit(50))
+    assert blobs.filter(F.col("n_bytes") != F.length(F.col("blob"))).count() == 0
+    feats = M.decode_image(blobs, fake=True).collect()
+    assert len(feats) == 50
+    assert all(len(r.feat) == 8 for r in feats)
+    assert all(abs(sum(r.feat) - 1.0) < 1e-9 for r in feats)
+    with pytest.raises(NotImplementedError):
+        M.decode_image(blobs).collect()
+    frames = M.frame_sample(blobs, n_frames=4)
+    per_doc = frames.groupBy("doc_id").count().agg(F.min("count")).first()[0]
+    assert per_doc == 4
+
+
+def test_similarity_ivf_vs_exact(spark, emb):
+    exact = SIM.cosine_topk(emb, k=5)
+    approx = SIM.ivf_topk(emb, k=5, n_cells=8, nprobe=4)
+    hit = approx.select("query_id", "cand_id").intersect(
+        exact.select("query_id", "cand_id")
+    )
+    recall = hit.count() / exact.count()
+    assert recall > 0.5, f"IVF recall {recall}"  # nprobe=half the cells
+    # nprobe = n_cells must be exhaustive = exact
+    full = SIM.ivf_topk(emb, k=5, n_cells=8, nprobe=8)
+    assert (
+        full.select("query_id", "cand_id")
+        .exceptAll(exact.select("query_id", "cand_id"))
+        .count()
+        == 0
+    )
