@@ -1,0 +1,877 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 as a (spark_fn, oracle_sql) pair.
+
+Each Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column names AND values (doubles rounded to 6 decimals on both sides)
+match the DuckDB oracle SQL exactly. Oracles are omitted only for
+operators whose randomness/hashing cannot be expressed in SQL (LSH
+projections, xxhash-based IVF centroids, binary frame kernels) — the
+driver records rows-only checks for those.
+
+Cross-engine determinism contract:
+- token hash: Spark conv(substr(md5,1,15),16,10) == DuckDB
+  ('0x'||substr(md5,1,15))::bigint (verified bit-for-bit)
+- erfc: the same Abramowitz-Stegun 7.1.26 polynomial on both sides
+- ranks: row_number with (value, id) tie-break on both sides
+- doubles: round(x, 6) on both sides
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kiez_spark.functions import text as T
+from kiez_spark.operators import analysis as A
+from kiez_spark.operators import clustering as CC
+from kiez_spark.operators import dedup as D
+from kiez_spark.operators import evaluate as E
+from kiez_spark.operators import knn as K
+from kiez_spark.operators import lsh as L
+from kiez_spark.operators import multimodal as M
+from kiez_spark.operators import similarity as SIM
+from kiez_spark.operators import text_analysis as TA
+from kiez_spark.pipeline import HubnessKnn, PipelineConfig
+
+N_CAND = 10
+TOP_K = 5
+
+# ---------------------------------------------------------------- helpers
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("bigint").alias("id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+        F.col("label"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus a mutated near-copy of each doc (first token ->
+    'zzz', doc_id + 100000): guarantees known near-duplicate pairs so the
+    dedup operators produce non-empty, oracle-checkable output (the
+    driver corpus itself has no duplicates)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+    )
+    return d.unionByName(mut)
+
+
+# identical derivation in SQL
+_DOCS2_SQL = """
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, regexp_replace(text, '^\\S+', 'zzz') AS text
+  FROM documents
+)
+"""
+
+_V_SQL = "v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings)"
+
+_PAIRS_SQL = f"""
+{_V_SQL},
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid, list_distance(a.vec, b.vec) AS d
+  FROM v a, v b WHERE a.id <> b.id
+),
+fwd AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+"""
+
+
+def _erfc_sql(z: str) -> str:
+    """A&S 7.1.26 erfc, sign-handled — textual twin of vectors.erfc_expr."""
+    pos = (
+        "((0.254829592*__T__ - 0.284496736*power(__T__,2) + 1.421413741*power(__T__,3)"
+        " - 1.453152027*power(__T__,4) + 1.061405429*power(__T__,5)) * exp(-(__Z__*__Z__)))"
+    )
+
+    def expand(zexpr: str) -> str:
+        t = f"(1.0/(1.0 + 0.3275911*({zexpr})))"
+        return pos.replace("__T__", t).replace("__Z__", f"({zexpr})")
+
+    return (
+        f"(CASE WHEN ({z}) >= 0 THEN {expand(z)} "
+        f"ELSE 2.0 - {expand(f'-({z})')} END)"
+    )
+
+
+def _sf_sql(x: str, mu: str, sd: str) -> str:
+    return f"(0.5 * {_erfc_sql(f'(({x}) - ({mu})) / (({sd}) * 1.4142135623730951)')})"
+
+
+_TOKENS_SQL = (
+    "string_split(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), ' ')"
+)
+_H_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
+
+
+def _shingles_sql(tok: str, n: int = 3) -> str:
+    return (
+        f"CASE WHEN len({tok}) >= {n} THEN "
+        f"[array_to_string(({tok})[i:i+{n - 1}], ' ') for i in range(1, len({tok}) - {n - 2})] "
+        f"ELSE [] END"
+    )
+
+
+# ---------------------------------------------------------------- kiez core
+
+
+def q_knn_euclidean(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+def q_knn_euclidean_expr(spark, sf_dir):
+    """Same kNN through the declarative (Catalyst-visible) tier —
+    cross-tier agreement is itself part of the contract
+    (tests/neighbors/test_faiss.py:22-46 semantics)."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_EUCLIDEAN = f"""
+WITH {_PAIRS_SQL}
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
+def q_knn_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "cosine", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_COSINE = f"""
+WITH {_V_SQL},
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         1.0 - list_cosine_similarity(a.vec, b.vec) AS d
+  FROM v a, v b WHERE a.id <> b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
+def _hubness_query(method: str):
+    def fn(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        eng = HubnessKnn(
+            PipelineConfig(
+                n_candidates=N_CAND, k=TOP_K, metric="euclidean",
+                hubness=method, tier="pandas",
+            )
+        )
+        eng.fit(emb.select("id", "vec"))
+        nn = eng.kneighbors(TOP_K)
+        return nn.select(
+            "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+        )
+
+    return fn
+
+
+# single-source note: the reverse (t->s) candidate table equals the
+# forward one (same entity set, symmetric metric), so the oracle reuses
+# `cand` for both the per-query and per-candidate statistics.
+_CAND_SQL = f"""
+{_PAIRS_SQL},
+cand AS (SELECT qid, cid, d FROM fwd WHERE r <= {N_CAND})
+"""
+
+
+def _final_sql(dprime: str, extra_cte: str = "") -> str:
+    return f"""
+WITH {_CAND_SQL}{extra_cte},
+scored AS (SELECT qid, cid, {dprime} AS d2 FROM cand_stats),
+final AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM scored
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d2, 6) AS dist
+FROM final WHERE r <= {TOP_K}
+"""
+
+
+SQL_HUBNESS_CSLS = _final_sql(
+    "2.0 * d - r_test - r_train",
+    extra_cte=""",
+stats AS (SELECT qid AS sid, avg(d) AS s FROM cand GROUP BY qid),
+cand_stats AS (
+  SELECT c.qid, c.cid, c.d, q.s AS r_test, t.s AS r_train
+  FROM cand c JOIN stats q ON c.qid = q.sid JOIN stats t ON c.cid = t.sid
+)""",
+)
+
+SQL_HUBNESS_LS = _final_sql(
+    "1.0 - exp(-(d * d) / (r_test * r_train))",
+    extra_cte=""",
+stats AS (SELECT qid AS sid, max(d) AS s FROM cand GROUP BY qid),
+cand_stats AS (
+  SELECT c.qid, c.cid, c.d, q.s AS r_test, t.s AS r_train
+  FROM cand c JOIN stats q ON c.qid = q.sid JOIN stats t ON c.cid = t.sid
+)""",
+)
+
+SQL_HUBNESS_NICDM = _final_sql(
+    "d / sqrt(r_test * r_train)",
+    extra_cte=""",
+stats AS (SELECT qid AS sid, avg(d) AS s FROM cand GROUP BY qid),
+cand_stats AS (
+  SELECT c.qid, c.cid, c.d, q.s AS r_test, t.s AS r_train
+  FROM cand c JOIN stats q ON c.qid = q.sid JOIN stats t ON c.cid = t.sid
+)""",
+)
+
+SQL_HUBNESS_MP_NORMAL = _final_sql(
+    f"1.0 - {_sf_sql('d', 'mu_i', 'sd_i')} * {_sf_sql('d', 'mu_j', 'sd_j')}",
+    extra_cte=""",
+stats AS (SELECT qid AS sid, avg(d) AS mu, stddev_pop(d) AS sd FROM cand GROUP BY qid),
+cand_stats AS (
+  SELECT c.qid, c.cid, c.d, q.mu AS mu_i, q.sd AS sd_i, t.mu AS mu_j, t.sd AS sd_j
+  FROM cand c JOIN stats q ON c.qid = q.sid JOIN stats t ON c.cid = t.sid
+)""",
+)
+
+# DisSimLocal, euclidean => squared=False (sqrt at the end), global shift.
+SQL_HUBNESS_DSL = f"""
+WITH {_CAND_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+cent AS (
+  SELECT c.qid, x.pos, avg(x.val) AS cval
+  FROM cand c JOIN vex x ON c.cid = x.id GROUP BY c.qid, x.pos
+),
+delta AS (
+  SELECT ct.qid AS sid, sum((sv.val - ct.cval) * (sv.val - ct.cval)) AS dlt
+  FROM cent ct JOIN vex sv ON ct.qid = sv.id AND ct.pos = sv.pos
+  GROUP BY ct.qid
+),
+sq AS (
+  SELECT c.qid, c.cid, c.d * c.d AS d2raw, qi.dlt AS d_i, tj.dlt AS d_j
+  FROM cand c JOIN delta qi ON c.qid = qi.sid JOIN delta tj ON c.cid = tj.sid
+),
+shifted AS (
+  SELECT qid, cid,
+         (d2raw - d_i - d_j)
+         - least((SELECT min(d2raw - d_i - d_j) FROM sq), 0.0) AS dd
+  FROM sq
+),
+final AS (
+  SELECT qid, cid, sqrt(dd) AS d2,
+         row_number() OVER (PARTITION BY qid ORDER BY sqrt(dd), cid) AS r
+  FROM shifted
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d2, 6) AS dist
+FROM final WHERE r <= {TOP_K}
+"""
+
+
+def q_k_occurrence(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    n = emb.count()
+    return A.k_occurrence(nn, n, TOP_K).select("entity_id", "k_occ")
+
+
+SQL_K_OCCURRENCE = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid FROM fwd WHERE r <= {TOP_K}),
+counts AS (SELECT cid, count(*) AS c FROM nn GROUP BY cid),
+ids AS (SELECT DISTINCT vec_id AS entity_id FROM embeddings)
+SELECT ids.entity_id, coalesce(counts.c, 0)::BIGINT AS k_occ
+FROM ids LEFT JOIN counts ON ids.entity_id = counts.cid
+"""
+
+
+def q_hubness_measures(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    n = emb.count()
+    m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K)
+    return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
+SQL_HUBNESS_MEASURES = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid FROM fwd WHERE r <= {TOP_K}),
+counts AS (SELECT cid, count(*) AS c FROM nn GROUP BY cid),
+ids AS (SELECT DISTINCT vec_id AS entity_id FROM embeddings),
+occ AS (
+  SELECT ids.entity_id, coalesce(counts.c, 0)::DOUBLE AS x
+  FROM ids LEFT JOIN counts ON ids.entity_id = counts.cid
+),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, entity_id) AS i FROM occ
+),
+agg AS (
+  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, avg(x) AS mu,
+         stddev_samp(x) AS sd1, max(x) AS mx,
+         avg(sqrt(x)) AS m_half,
+         sum(CASE WHEN x = 0 THEN 1 ELSE 0 END)::DOUBLE AS n_anti,
+         sum(CASE WHEN x >= 2.0 * {TOP_K} THEN x ELSE 0 END) AS hub_sum,
+         sum((2.0 * i - 1.0) * x) AS gini_num_part
+  FROM ranked
+),
+mo AS (
+  SELECT avg(pow(x - (SELECT mu FROM agg), 2)) AS m2,
+         avg(pow(x - (SELECT mu FROM agg), 3)) AS m3,
+         sum(abs(x - (SELECT mu FROM agg))) AS sad
+  FROM occ
+),
+tn AS (
+  SELECT (0.0 - mu) / sd1 AS a,
+         exp(-0.5 * ((0.0 - mu) / sd1) * ((0.0 - mu) / sd1))
+           / 2.5066282746310002 AS phi_a
+  FROM agg
+),
+lamt AS (
+  SELECT a, phi_a / (0.5 * {_erfc_sql('a / 1.4142135623730951')}) AS lam FROM tn
+)
+SELECT
+  round(mo.m3 / pow(mo.m2, 1.5), 6) AS k_skewness,
+  round(2.0 * lamt.lam + lamt.a * lamt.a * lamt.lam, 6) AS k_skewness_truncnorm,
+  round(1.0 - pow(agg.m_half, 2.0) / agg.mu, 6) AS atkinson,
+  round((agg.gini_num_part - agg.n * agg.sx) / (agg.n * agg.sx), 6) AS gini,
+  round(0.5 * mo.sad / agg.sx, 6) AS robinhood,
+  round(agg.n_anti / agg.n, 6) AS antihub_occurrence,
+  round(agg.hub_sum / {TOP_K}.0 / agg.n, 6) AS hub_occurrence,
+  round(agg.mx / agg.n / {TOP_K}.0, 6) AS groupie_ratio
+FROM agg, mo, lamt
+"""
+
+
+def q_hits_at_k(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_expr(emb, emb, N_CAND, "euclidean", exclude_self=True)
+    # deterministic gold: each entity -> smallest other id with same label
+    a = emb.select(F.col("id").alias("src_id"), F.col("label").alias("la"))
+    b = emb.select(F.col("id").alias("oid"), F.col("label").alias("lb"))
+    gold = (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("src_id") != F.col("oid")))
+        .groupBy("src_id")
+        .agg(F.min("oid").alias("tgt_id"))
+    )
+    return E.hits_at_k(nn, gold, ks=(1, 5, 10)).select(
+        "k", F.round("hits", 6).alias("hits")
+    )
+
+
+SQL_HITS_AT_K = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid, r FROM fwd WHERE r <= {N_CAND}),
+gold AS (
+  SELECT a.vec_id AS src_id, min(b.vec_id) AS tgt_id
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id
+),
+matched AS (
+  SELECT g.src_id, min(nn.r) AS best_rank
+  FROM gold g JOIN nn ON nn.qid = g.src_id AND nn.cid = g.tgt_id
+  GROUP BY g.src_id
+),
+ks AS (SELECT unnest([1, 5, 10]) AS k)
+SELECT ks.k::INT AS k,
+       round(coalesce(sum(CASE WHEN m.best_rank <= ks.k THEN 1 ELSE 0 END), 0)
+             / (SELECT count(*) FROM gold), 6) AS hits
+FROM ks LEFT JOIN matched m ON true
+GROUP BY ks.k
+"""
+
+
+def q_openea_split(spark, sf_dir):
+    """S3 loader semantics (io/data_loading.py:23-72): membership filter +
+    dense re-numbering. 'kg1' = even vec_ids, re-id by row_number order."""
+    emb = _emb(spark, sf_dir)
+    from pyspark.sql import Window
+
+    kg1 = emb.filter(F.col("id") % 2 == 0)
+    w = Window.orderBy("id")
+    return kg1.select(
+        (F.row_number().over(w) - 1).alias("new_id"),
+        F.col("id").alias("orig_id"),
+    )
+
+
+SQL_OPENEA_SPLIT = """
+SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS new_id,
+       vec_id AS orig_id
+FROM embeddings WHERE vec_id % 2 = 0
+"""
+
+
+# ------------------------------------------------------------- dedup / text
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dup = d.unionByName(
+        d.select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+    )
+    return D.exact_duplicates(dup).select("dup_hash", "n_docs", "keep_id")
+
+
+SQL_EXACT_DUP_GROUPS = """
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 200000, text FROM documents
+)
+SELECT sha256(text) AS dup_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM dup GROUP BY sha256(text) HAVING count(*) > 1
+"""
+
+
+def _minhash_sql_values(n_hashes: int, seed: int = 42) -> str:
+    params = T.minhash_params(n_hashes, seed)
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(params))
+    return f"(VALUES {rows}) hp(h_idx, a, b)"
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sigs = D.minhash_signatures(_docs(spark, sf_dir), n_hashes=16)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "h_val")
+    ).select("doc_id", "h_idx", "h_val")
+
+
+SQL_MINHASH_SIGNATURES = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+  FROM documents
+)
+SELECT sh.doc_id, hp.h_idx::INT AS h_idx,
+       coalesce(
+         list_min(list_transform(sh.s,
+           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+         1000000007) AS h_val
+FROM sh, {_minhash_sql_values(16)}
+"""
+
+
+_SIGS2_SQL = f"""
+{_DOCS2_SQL},
+sh AS (
+  SELECT doc_id,
+         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+  FROM docs2
+),
+sigv AS (
+  SELECT sh.doc_id, hp.h_idx,
+         coalesce(
+           list_min(list_transform(sh.s,
+             x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           1000000007) AS h_val
+  FROM sh, {_minhash_sql_values(16)}
+),
+bands AS (
+  SELECT doc_id, h_idx // 4 AS band,
+         string_agg(h_val::VARCHAR, '_' ORDER BY h_idx) AS band_key
+  FROM sigv GROUP BY doc_id, h_idx // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS tgt_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.src_id, c.tgt_id,
+         CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+              THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+                   / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+              ELSE 0.0 END AS jaccard
+  FROM cand c JOIN sh sa ON c.src_id = sa.doc_id JOIN sh sb ON c.tgt_id = sb.doc_id
+)
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    pairs = D.minhash_lsh_pairs(
+        _docs2(spark, sf_dir), n_hashes=16, bands=4, threshold=0.5
+    )
+    return pairs.select("src_id", "tgt_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH_LSH_PAIRS = f"""
+WITH {_SIGS2_SQL}
+SELECT src_id, tgt_id, round(jaccard, 6) AS jaccard
+FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    pairs = D.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), threshold=0.6, max_doc_freq=10_000_000
+    )
+    return pairs.select("src_id", "tgt_id", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_DOCS2_SQL},
+sh AS (
+  SELECT doc_id,
+         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+  FROM docs2
+)
+SELECT a.doc_id AS src_id, b.doc_id AS tgt_id,
+       round(len(list_intersect(a.s, b.s))::DOUBLE
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.s, b.s))::DOUBLE
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+"""
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    return D.simhash_fingerprints(_docs(spark, sf_dir)).select("doc_id", "simhash")
+
+
+SQL_SIMHASH_FINGERPRINTS = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(col='text')}) AS t FROM documents
+),
+h AS (SELECT doc_id, {_H_SQL.format(s='t')} AS hv FROM tok),
+votes AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) b(i) GROUP BY doc_id, b.i
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_pairs(
+        _docs2(spark, sf_dir), max_hamming=12, bands=6
+    ).select("src_id", "tgt_id", "hamming")
+
+
+SQL_SIMHASH_PAIRS = f"""
+WITH {_DOCS2_SQL},
+tok AS (SELECT doc_id, unnest({_TOKENS_SQL.format(col='text')}) AS t FROM docs2),
+h AS (SELECT doc_id, {_H_SQL.format(s='t')} AS hv FROM tok),
+votes AS (
+  SELECT doc_id, b.i AS bit,
+         sum(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, generate_series(0, 59) b(i) GROUP BY doc_id, b.i
+),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, sh, b.i AS band, (sh >> (b.i * 10)) & 1023 AS band_key
+  FROM fp, generate_series(0, 5) b(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS src_id, b.doc_id AS tgt_id,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT src_id, tgt_id, hamming FROM cand WHERE hamming <= 12
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return D.embedding_neardup_pairs(emb, max_cos_dist=0.75).select(
+        "src_id", "tgt_id", F.round("cos_dist", 6).alias("cos_dist")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = f"""
+WITH {_V_SQL}
+SELECT a.id AS src_id, b.id AS tgt_id,
+       round(1.0 - list_cosine_similarity(a.vec, b.vec), 6) AS cos_dist
+FROM v a, v b
+WHERE a.id < b.id AND 1.0 - list_cosine_similarity(a.vec, b.vec) <= 0.75
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    return TA.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens", "n_chars"
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id, len({_TOKENS_SQL.format(col='text')})::INT AS n_tokens,
+       length(text)::INT AS n_chars
+FROM documents
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    return TA.quality_features(_docs(spark, sf_dir))
+
+
+def _stop_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        f"len(list_filter({_TOKENS_SQL.format(col='text')},"
+        f" t -> list_contains([{words}], t)))"
+    )
+
+
+SQL_QUALITY_FEATURES = f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text)::DOUBLE AS n_chars,
+         len({_TOKENS_SQL.format(col='text')})::DOUBLE AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE AS alnum,
+         {_stop_sql('en')}::DOUBLE AS stop_en,
+         len(list_distinct({_TOKENS_SQL.format(col='text')}))::DOUBLE AS uniq
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  round(CASE WHEN n_tokens > 0 THEN alnum / n_tokens ELSE 0.0 END, 6) AS avg_token_len,
+  round(CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END, 6) AS alnum_ratio,
+  round(CASE WHEN n_tokens > 0 THEN stop_en / n_tokens ELSE 0.0 END, 6) AS stop_ratio_en,
+  round(CASE WHEN n_tokens > 0 THEN uniq / n_tokens ELSE 0.0 END, 6) AS uniq_ratio,
+  round(least(1.0, least(n_tokens / 20.0, 1.0) * 0.4
+        + (CASE WHEN n_chars > 0 THEN alnum / n_chars ELSE 0.0 END) * 0.3
+        + (CASE WHEN n_tokens > 0 THEN uniq / n_tokens ELSE 0.0 END) * 0.3), 6)
+    AS quality
+FROM base
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return TA.lang_id(_docs(spark, sf_dir))
+
+
+def _langid_sql() -> str:
+    langs = sorted(T.STOPWORDS)
+    hits = ", ".join(f"{_stop_sql(lang)} AS h_{lang}" for lang in langs)
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    pred = "'und'"
+    for lang in reversed(langs):
+        pred = f"CASE WHEN h_{lang} = best AND best > 0 THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH hits AS (SELECT doc_id, {hits} FROM documents),
+b AS (SELECT *, {best} AS best FROM hits)
+SELECT doc_id, {pred} AS lang_pred, best::INT AS lang_hits FROM b
+"""
+
+
+SQL_LANG_ID = _langid_sql()
+
+
+def q_fingerprints(spark, sf_dir):
+    return TA.fingerprints(_docs(spark, sf_dir)).select("doc_id", "fingerprint")
+
+
+SQL_FINGERPRINTS = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform({_TOKENS_SQL.format(col='text')},
+                     t -> {_H_SQL.format(s='t')} % 1000000007)),
+    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+"""
+
+
+def q_cc_clusters(spark, sf_dir):
+    """Connected components over the minhash near-dup graph of docs2."""
+    docs2 = _docs2(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2, n_hashes=16, bands=4, threshold=0.5)
+    nodes = docs2.select(F.col("doc_id").alias("id"))
+    return CC.connected_components(pairs, nodes).select("id", "component")
+
+
+SQL_CC_CLUSTERS = f"""
+WITH RECURSIVE {_SIGS2_SQL},
+edges AS (SELECT src_id AS u, tgt_id AS v FROM jac WHERE jaccard >= 0.5),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
+FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+"""
+
+
+# ------------------------------------------------------- generic relational
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_multimodal_meta(spark, sf_dir):
+    blobs = M.pack_blobs(_docs(spark, sf_dir))
+    return blobs.select("doc_id", "media_type", "n_bytes", "sha")
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, 'application/octet-stream' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+# ----------------------------------------------- Spark-only (rows-only gate)
+
+
+def q_mp_empiric(spark, sf_dir):
+    return _hubness_query("mp_empiric")(spark, sf_dir)
+
+
+def q_lsh_knn_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cands = L.lsh_candidates(
+        emb, emb, "cosine", n_tables=8, n_bits=12, exclude_self=True
+    )
+    nn = K.topk(cands, TOP_K)
+    return nn.select("query_id", "cand_id", "rank", F.round("dist", 6).alias("dist"))
+
+
+def q_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return SIM.ivf_topk(emb, k=TOP_K, n_cells=16, nprobe=4).select(
+        "query_id", "cand_id", "rank", F.round("dist", 6).alias("dist")
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    blobs = M.pack_blobs(_docs(spark, sf_dir))
+    frames = M.frame_sample(blobs, n_frames=4)
+    return frames.select("doc_id", "frame_idx", F.length("frame").alias("n_bytes"))
+
+
+def q_linkage_f1(spark, sf_dir):
+    """Self-contained linkage quality gate: synthetic repos_files with
+    planted gold clusters -> full pipeline -> pairwise F1 row."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import link_files
+
+    files = synth.repos_files(spark, n=400)
+    res = link_files(spark, files, max_dist=12.0)
+    return E.pairwise_f1(
+        E.clusters_to_pairs(res.clusters),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES = {
+    "knn_exact_euclidean": (q_knn_euclidean, SQL_KNN_EUCLIDEAN),
+    "knn_exact_expr_tier": (q_knn_euclidean_expr, SQL_KNN_EUCLIDEAN),
+    "knn_exact_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
+    "hubness_ls": (_hubness_query("ls"), SQL_HUBNESS_LS),
+    "hubness_nicdm": (_hubness_query("nicdm"), SQL_HUBNESS_NICDM),
+    "hubness_mp_normal": (_hubness_query("mp_normal"), SQL_HUBNESS_MP_NORMAL),
+    "hubness_dsl": (_hubness_query("dsl"), SQL_HUBNESS_DSL),
+    "hubness_mp_empiric": (q_mp_empiric, None),
+    "k_occurrence": (q_k_occurrence, SQL_K_OCCURRENCE),
+    "hubness_measures": (q_hubness_measures, SQL_HUBNESS_MEASURES),
+    "hits_at_k": (q_hits_at_k, SQL_HITS_AT_K),
+    "openea_split": (q_openea_split, SQL_OPENEA_SPLIT),
+    "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
+    "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
+    "cc_clusters": (q_cc_clusters, SQL_CC_CLUSTERS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "lsh_knn_cosine": (q_lsh_knn_cosine, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "frame_sample": (q_frame_sample, None),
+    "linkage_f1": (q_linkage_f1, None),
+}

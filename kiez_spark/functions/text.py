@@ -63,6 +63,14 @@ def minhash_value(sh: Column, a: int, b: int, p: int = MINHASH_P) -> Column:
     return F.coalesce(F.array_min(vals), F.lit(p))
 
 
+def minhash_from_hashes(hmod: Column, a: int, b: int, p: int = MINHASH_P) -> Column:
+    """Same as minhash_value but over pre-reduced hash values (H(s) mod p)
+    so the md5 of each shingle is computed ONCE, not once per hash
+    function — 16x fewer md5 evaluations in the signature hot path."""
+    vals = F.transform(hmod, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(p))
+    return F.coalesce(F.array_min(vals), F.lit(p))
+
+
 def simhash64(tok: Column, bits: int = 60) -> Column:
     """SimHash fingerprint: bit b set iff sum over tokens of
     (+1 if bit b of H(token) else -1) is positive.

@@ -65,8 +65,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one pass, column exprs only."""
     params = T.minhash_params(n_hashes, seed)
-    shingled = _with_shingles(df, id_col, text_col, shingle_n)
-    sig = F.array(*[T.minhash_value(F.col("sh"), a, b) for a, b in params])
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+        # md5 each shingle exactly once, reuse across all hash functions
+        "hmod",
+        F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P)),
+    )
+    sig = F.array(*[T.minhash_from_hashes(F.col("hmod"), a, b) for a, b in params])
     return shingled.select("doc_id", sig.alias("sig"))
 
 

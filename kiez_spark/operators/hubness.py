@@ -34,6 +34,15 @@ def _row_w():
     return Window.partitionBy("query_id")
 
 
+def _row_stat(s2t: DataFrame, agg_fn, precomputed: str):
+    """Per-query candidate-set statistic: use the kernel-emitted column
+    when the candidate table carries it (pandas tier — saves a window
+    shuffle), else a window aggregate (expr/blocked/lsh tiers)."""
+    if precomputed in s2t.columns:
+        return F.col(precomputed)
+    return agg_fn("dist").over(_row_w())
+
+
 def _reverse_stats(t2s: DataFrame, agg, name: str) -> DataFrame:
     """Per-target-entity statistic from the reverse candidate table.
 
@@ -51,7 +60,7 @@ def csls(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     d' = 2d - mean_i(forward dists) - mean_j(reverse dists)."""
     stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
     return (
-        s2t.withColumn("r_test", F.avg("dist").over(_row_w()))
+        s2t.withColumn("r_test", _row_stat(s2t, F.avg, "row_mean"))
         .join(F.broadcast(stats), "cand_id")
         .select(
             "query_id",
@@ -71,7 +80,7 @@ def local_scaling(s2t: DataFrame, t2s: DataFrame, method: str = "standard") -> D
     if method in ("standard", "ls"):
         stats = _reverse_stats(t2s, F.max("dist"), "r_train")
         out = (
-            s2t.withColumn("r_test", F.max("dist").over(_row_w()))
+            s2t.withColumn("r_test", _row_stat(s2t, F.max, "row_max"))
             .join(F.broadcast(stats), "cand_id")
             .select(
                 "query_id",
@@ -88,7 +97,7 @@ def local_scaling(s2t: DataFrame, t2s: DataFrame, method: str = "standard") -> D
     elif method == "nicdm":
         stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
         out = (
-            s2t.withColumn("r_test", F.avg("dist").over(_row_w()))
+            s2t.withColumn("r_test", _row_stat(s2t, F.avg, "row_mean"))
             .join(F.broadcast(stats), "cand_id")
             .select(
                 "query_id",
@@ -116,8 +125,8 @@ def mutual_proximity_normal(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     p1 = normal_sf(F.col("dist"), F.col("mu_test"), F.col("sd_test"))
     p2 = normal_sf(F.col("dist"), F.col("mu_train"), F.col("sd_train"))
     return (
-        s2t.withColumn("mu_test", F.avg("dist").over(_row_w()))
-        .withColumn("sd_test", F.stddev_pop("dist").over(_row_w()))
+        s2t.withColumn("mu_test", _row_stat(s2t, F.avg, "row_mean"))
+        .withColumn("sd_test", _row_stat(s2t, F.stddev_pop, "row_std"))
         .join(F.broadcast(stats), "cand_id")
         .select("query_id", "cand_id", (1.0 - p1 * p2).alias("dist"))
     )

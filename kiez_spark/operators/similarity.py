@@ -31,10 +31,9 @@ def cosine_topk(
             emb, emb, k, "cosine", id_col=id_col, vec_col=vec_col,
             exclude_self=True,
         )
-    cands = K.knn_join_pandas(
+    return K.knn_join_pandas(
         emb, emb, k, "cosine", id_col=id_col, vec_col=vec_col, exclude_self=True
     )
-    return K.topk(cands, k)
 
 
 def ivf_topk(

@@ -103,11 +103,23 @@ class HubnessKnn:
                 block_col=c.block_col, exclude_self=exclude_self,
             )
         if c.tier == "pandas":
+            # index build = the 'fit' step: collect each side's numpy copy
+            # + broadcast once, reuse across forward/reverse queries; the
+            # stable cache token also lets workers keep one kernel state
+            key = "src" if index is self.source_ else "tgt"
+            if key not in self._index_np:
+                np_idx = K.collect_index(index, c.id_col, c.vec_col)
+                bc = queries.sparkSession.sparkContext.broadcast(np_idx)
+                self._index_np[key] = bc
             cands = K.knn_join_pandas(
                 queries, index, k, c.metric,
                 id_col=c.id_col, vec_col=c.vec_col, exclude_self=exclude_self,
+                index_bc=self._index_np[key],
+                cache_token=f"{id(self)}-{key}-{k}",
             )
-            return K.topk(cands, k)
+            # kernel output is already per-query top-k with ranks and the
+            # engine tie-break -- no extra rank window (saves a shuffle)
+            return cands
         if c.tier == "blocked":
             if not c.block_col:
                 raise ValueError("blocked tier requires block_col")
@@ -134,6 +146,7 @@ class HubnessKnn:
         self.single_source = target is None
         self.source_ = source
         self.target_ = source if target is None else target
+        self._index_np: dict = {}
         return self
 
     def _set_k(self, k: int | None) -> int:
@@ -168,9 +181,20 @@ class HubnessKnn:
             return self._candidates(self.source_, self.target_, n_neighbors, excl)
 
         s2t = self._candidates(self.source_, self.target_, c.n_candidates, excl)
-        t2s = self._candidates(self.target_, self.source_, c.n_candidates, excl)
-        s2t_flat = s2t.select("query_id", "cand_id", "dist")
-        t2s_flat = t2s.select("query_id", "cand_id", "dist")
+        keep_cols = [c_ for c_ in ("query_id", "cand_id", "dist", "row_mean",
+                                   "row_max", "row_std") if c_ in s2t.columns]
+        s2t_flat = s2t.select(*keep_cols)
+        if self.single_source:
+            # the reverse (t->s) candidate table is IDENTICAL to the
+            # forward one (same entity set, symmetric metric, same k):
+            # compute once, persist so the stats aggregation and the
+            # scoring pass share one materialization
+            s2t_flat = s2t_flat.persist()
+            t2s_flat = s2t_flat
+        else:
+            t2s = self._candidates(self.target_, self.source_, c.n_candidates, excl)
+            t2s_flat = t2s.select("query_id", "cand_id", "dist")
+        t2s_flat = t2s_flat.select("query_id", "cand_id", "dist")
 
         if c.hubness == "dsl":
             src = self.source_.select(

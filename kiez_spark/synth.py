@@ -158,6 +158,32 @@ def derive_embeddings(
     )
 
 
+def fast_embeddings(spark: SparkSession, n: int, dim: int = 32, seed: int = 42) -> DataFrame:
+    """Throughput-bench embedding generator: (id, vec) with
+    v[id, j] = 2*frac(sin(id*12.9898 + j*78.233 + seed)*43758.5453) - 1 —
+    fully vectorized numpy in mapInPandas, deterministic per (id, j)
+    regardless of partitioning. For BENCHMARK datasets only (the
+    correctness path derives embeddings from content, derive_embeddings)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def gen(batches):
+        j = np.arange(dim, dtype=np.float64)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.float64)
+            phase = ids[:, None] * 12.9898 + j[None, :] * 78.233 + seed
+            v = np.sin(phase) * 43758.5453
+            v = 2.0 * (v - np.floor(v)) - 1.0
+            yield pd.DataFrame(
+                {"id": pdf["id"].astype("int64"), "vec": list(v)}
+            )
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    return spark.range(n, numPartitions=parts).mapInPandas(
+        gen, "id bigint, vec array<double>"
+    )
+
+
 def gold_clusters(files: DataFrame) -> DataFrame:
     """(id, component) gold assignment from generator metadata."""
     return files.select(
