@@ -63,6 +63,26 @@ def cosine_distance(a: Column, b: Column) -> Column:
     )
 
 
+def minkowski(a: Column, b: Column, p: float) -> Column:
+    """General minkowski-p (the reference's sklearn backend supports any
+    p, sklearn_nearest_neighbors.py; p=2 aliases to euclidean like
+    random_projection_trees.py:86-87)."""
+    if p == 2:
+        return euclidean(a, b)
+    if p == 1:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    s = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(float(p)))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.pow(s, F.lit(1.0 / float(p)))
+
+
 def distance_expr(a: Column, b: Column, metric: str) -> Column:
     if metric in ("euclidean", "minkowski", "l2"):
         return euclidean(a, b)
@@ -70,6 +90,10 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return sqeuclidean(a, b)
     if metric in ("cosine", "cos"):
         return cosine_distance(a, b)
+    if metric in ("manhattan", "l1", "cityblock"):
+        return minkowski(a, b, 1)
+    if metric.startswith("minkowski_"):
+        return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")
 
 

@@ -146,6 +146,44 @@ def lsh_candidates(
     )
 
 
+def save_index(sig_df: DataFrame, path: str) -> None:
+    """Persist an LSH signature table (S6 index-persistence analogue —
+    the reference mmaps ANN index files to /dev/shm for worker reuse,
+    temp_file_handling.py:11-55; the Spark-native equivalent is a
+    partitioned parquet/Iceberg signature table readable by any job)."""
+    sig_df.write.mode("overwrite").partitionBy("table").parquet(path)
+
+
+def load_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def lsh_candidates_from_index(
+    queries_sig: DataFrame, index_sig: DataFrame, vecs_q: DataFrame,
+    vecs_x: DataFrame, metric: str, exclude_self: bool = False,
+) -> DataFrame:
+    """Candidate pairs from two prebuilt signature tables (id, table, sig)
+    + exact rescoring against the vector tables (query_id/cand_id, vec)."""
+    pairs = (
+        queries_sig.alias("q")
+        .join(index_sig.alias("x"), ["table", "sig"])
+        .select(F.col("q.id").alias("query_id"), F.col("x.id").alias("cand_id"))
+    )
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("cand_id"))
+    pairs = pairs.distinct()
+    qv = vecs_q.select(F.col("id").alias("query_id"), F.col("vec").cast("array<double>").alias("qv"))
+    xv = vecs_x.select(F.col("id").alias("cand_id"), F.col("vec").cast("array<double>").alias("xv"))
+    return (
+        pairs.join(qv, "query_id")
+        .join(xv, "cand_id")
+        .select(
+            "query_id", "cand_id",
+            distance_expr(F.col("qv"), F.col("xv"), metric).alias("dist"),
+        )
+    )
+
+
 def lsh_recall(approx_nn: DataFrame, exact_nn: DataFrame) -> float:
     """Fraction of exact top-k pairs recovered by the approximate tier —
     the exact-vs-approx agreement semantic of the reference's Faiss tests
