@@ -1,0 +1,116 @@
+"""Physical-plan quality audit: dump .explain('formatted') for key queries
+and assert the plan properties the scale design relies on:
+
+- parquet scans carry PushedFilters / pruned ReadSchema where expected
+- small stats tables join via BroadcastHashJoin (never shuffle the big
+  candidate table for a per-entity statistic)
+- whole-stage codegen covers the rescore expressions
+
+Usage: python tools/explain_plans.py [--dump]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kiez_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def check(name: str, plan: str, must: list[str], dump: bool) -> bool:
+    missing = [m for m in must if m not in plan]
+    status = "PASS" if not missing else f"FAIL (missing {missing})"
+    print(f"{status} {name}")
+    if dump or missing:
+        print(plan[:4000])
+    return not missing
+
+
+def main() -> int:
+    dump = "--dump" in sys.argv
+    spark = get_spark("plan-audit", cores=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+
+    # 1. filter + column pruning reach the parquet scan
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q1 = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    p1 = plan_of(q1)
+    ok &= check(
+        "pushdown: filtered projection",
+        p1,
+        ["PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]",
+         # pruned to the 3 needed columns (of 5); lang stays because the
+         # pushed filter is re-evaluated post-scan
+         "ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"],
+        dump,
+    )
+
+    # 2. hubness stats join is a broadcast hash join over the candidate
+    #    table (expr tier shows the full declarative plan)
+    from kiez_spark.operators import hubness as H
+    from kiez_spark.operators import knn as K
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cands = K.knn_join_expr(emb, emb, 10, "euclidean", exclude_self=True)
+    flat = cands.select("query_id", "cand_id", "dist")
+    rescored = H.csls(flat, flat)
+    p2 = plan_of(rescored)
+    ok &= check(
+        "csls: broadcast stats join, shared window exchange, rank pushdown",
+        p2,
+        # one Exchange feeds both the rank filter (WindowGroupLimit = rank
+        # pushdown) and the avg window; stats join is broadcast
+        ["BroadcastHashJoin", "WindowGroupLimit"],
+        dump,
+    )
+    import re
+
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", p2))
+    assert n_shuffles <= 4, f"unexpected extra shuffles in csls plan: {n_shuffles}"
+
+    # 3. expr-tier kNN: broadcast nested loop (no shuffle of the pair space)
+    p3 = plan_of(cands)
+    ok &= check(
+        "expr kNN: broadcast nested loop join",
+        p3,
+        ["BroadcastNestedLoopJoin", "WindowGroupLimit"],
+        dump,
+    )
+
+    # 4. blocked kNN: single hash-partitioning exchange per side
+    with_block = emb.withColumn("block", F.pmod(F.col("id"), F.lit(8)))
+    blocked = K.knn_join_blocked(
+        with_block, with_block, 5, "euclidean", block_col="block"
+    )
+    p4 = plan_of(blocked)
+    ok &= check(
+        "blocked kNN: cogrouped exchange",
+        p4,
+        ["FlatMapCoGroupsInPandas", "hashpartitioning(block"],
+        dump,
+    )
+
+    spark.stop()
+    print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
