@@ -841,6 +841,47 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """Shipping-priority join (customer x orders x lineitem) — exercises
+    multi-table broadcast/shuffle join planning; top-10 by revenue with
+    deterministic tie-break."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("2001-01-01"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("2001-01-01"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       o_orderdate
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < '2001-01-01'
+  AND l_shipdate > '2001-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_multimodal_meta(spark, sf_dir):
     blobs = M.pack_blobs(_docs(spark, sf_dir))
     return blobs.select("doc_id", "media_type", "n_bytes", "sha")
@@ -929,6 +970,7 @@ QUERIES = {
     "cc_clusters": (q_cc_clusters, SQL_CC_CLUSTERS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
     "ivf_topk": (q_ivf_topk, None),
