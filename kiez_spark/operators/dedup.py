@@ -89,7 +89,16 @@ def minhash_lsh_pairs(
     shingle-set join verifies. src_id < tgt_id."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_n, seed)
+    # the shingled table feeds the signatures AND both verification sides
+    # — persist so shingling (regex + slice + concat per token window)
+    # runs once, not three times
+    shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
+    params = T.minhash_params(n_hashes, seed)
+    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
+    sig = F.array(
+        *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
+    )
+    sigs = shingled.withColumn("_hmod", hmod).select("doc_id", sig.alias("sig"))
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -118,7 +127,6 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingled = _with_shingles(df, id_col, text_col, shingle_n)
     a = shingled.select(F.col("doc_id").alias("src_id"), F.col("sh").alias("sha_"))
     b = shingled.select(F.col("doc_id").alias("tgt_id"), F.col("sh").alias("shb_"))
     inter = F.size(F.array_intersect(F.col("sha_"), F.col("shb_")))

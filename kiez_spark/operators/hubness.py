@@ -237,21 +237,30 @@ def dis_sim_local(
     src_v = source.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
     tgt_v = target.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
 
-    delta_j = _dist_to_centroid(t2s, src_v, tgt_v, "delta_j").withColumnRenamed(
-        "query_id", "cand_id"
-    )
     delta_i = _dist_to_centroid(s2t, tgt_v, src_v, "delta_i")
+    if t2s is s2t and source is target:
+        # single-source: the reverse candidate table and entity set are
+        # the forward ones, so delta_j == delta_i — compute once
+        delta_j = delta_i.select(
+            F.col("query_id").alias("cand_id"), F.col("delta_i").alias("delta_j")
+        )
+    else:
+        delta_j = _dist_to_centroid(t2s, src_v, tgt_v, "delta_j").withColumnRenamed(
+            "query_id", "cand_id"
+        )
 
+    # the reference recomputes pairwise squared euclidean distances from
+    # the vectors (dis_sim.py:144-157); for (sq)euclidean candidates the
+    # recomputation equals dist^2 (resp. dist) of the candidate table —
+    # reuse it instead of re-joining both vector tables
+    d2 = (F.col("dist") * F.col("dist")) if metric != "sqeuclidean" else F.col("dist")
     pairs = (
-        s2t.join(src_v.select(F.col("id").alias("query_id"), F.col("vec").alias("qv")), "query_id")
-        .join(tgt_v.select(F.col("id").alias("cand_id"), F.col("vec").alias("cv")), "cand_id")
-        .withColumn("d2", sqeuclidean(F.col("qv"), F.col("cv")))
-        .join(F.broadcast(delta_i), "query_id")
+        s2t.join(F.broadcast(delta_i), "query_id")
         .join(F.broadcast(delta_j), "cand_id")
         .select(
             "query_id",
             "cand_id",
-            (F.col("d2") - F.col("delta_i") - F.col("delta_j")).alias("dist"),
+            (d2 - F.col("delta_i") - F.col("delta_j")).alias("dist"),
         )
     )
     min_row = pairs.agg(F.min("dist").alias("mind"))
