@@ -29,6 +29,9 @@ METRICS_SCHEMA = (
     "stage string, rows bigint, sig bigint, sha_sig bigint, "
     "n_partitions int, wall_sec double, ts double"
 )
+PARTITION_METRICS_SCHEMA = (
+    "stage string, partition_id int, rows bigint, sig bigint"
+)
 
 
 def _signature(df: DataFrame) -> tuple[int, int]:
@@ -97,12 +100,48 @@ class StageCheckpointer:
         metrics.write.format(self.fmt).mode("append").save(
             os.path.join(self.base_dir, "_metrics")
         )
+        # per-partition lineage (north_rule): row count + content signature
+        # for every partition of the stage output, so a resumed run can
+        # verify partition-level integrity, not just stage totals
+        cols = [F.col(c) for c in out.columns]
+        part_metrics = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("sig"),
+            )
+            .select(F.lit(name).alias("stage"), "partition_id", "rows", "sig")
+        )
+        part_metrics.write.format(self.fmt).mode("append").save(
+            os.path.join(self.base_dir, "_partition_metrics")
+        )
         return out
 
     def metrics(self) -> DataFrame:
         return self.spark.read.format(self.fmt).load(
             os.path.join(self.base_dir, "_metrics")
         )
+
+    def partition_metrics(self) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(
+            os.path.join(self.base_dir, "_partition_metrics")
+        )
+
+    def lineage_consistent(self) -> bool:
+        """Stage totals must equal the sum/xor of their partition metrics."""
+        agg = (
+            self.partition_metrics()
+            .groupBy("stage")
+            .agg(
+                F.sum("rows").alias("p_rows"),
+                F.bit_xor("sig").alias("p_sig"),
+            )
+        )
+        joined = self.metrics().join(agg, "stage")
+        bad = joined.filter(
+            (F.col("rows") != F.col("p_rows")) | (F.col("sig") != F.col("p_sig"))
+        )
+        return bad.count() == 0
 
     def sha_invariant_ok(self) -> bool:
         """True iff every stage that carries content_sha has the same xor

@@ -104,6 +104,10 @@ def test_checkpoint_resume(spark, files, tmp_path):
     assert ck.sha_invariant_ok(), "content_sha set changed across stages"
     stages = {r.stage for r in ck.metrics().collect()}
     assert stages == {"embeddings", "candidates", "pairs", "clusters"}
+    # per-partition lineage reconciles with stage totals (rows + xor sig)
+    assert ck.lineage_consistent()
+    pstages = {r.stage for r in ck.partition_metrics().collect()}
+    assert pstages == stages
 
 
 def test_partial_resume(spark, files, tmp_path):
