@@ -895,6 +895,39 @@ FROM documents
 """
 
 
+def q_lsh_recall_report(spark, sf_dir):
+    """Exact-vs-approximate agreement as a first-class result (the
+    reference's faiss Flat-vs-ANN test semantic, test_faiss.py:22-46):
+    recall of the LSH tier against exact cosine top-k, overall and on the
+    truly-near pair subset LSH is designed for."""
+    emb = _emb(spark, sf_dir)
+    exact = K.knn_join_pandas(emb, emb, TOP_K, "cosine", exclude_self=True)
+    approx = K.topk(
+        L.lsh_candidates(emb, emb, "cosine", n_tables=8, n_bits=12,
+                         exclude_self=True),
+        TOP_K,
+    )
+    overall = L.lsh_recall(approx, exact)
+    near = L.lsh_recall(approx, exact.filter(F.col("dist") < 0.6))
+    return spark.createDataFrame(
+        [(round(overall, 6), round(near, 6))],
+        "recall_overall double, recall_near double",
+    )
+
+
+def q_ivf_recall_report(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = SIM.cosine_topk(emb, k=TOP_K, tier="pandas")
+    approx = SIM.ivf_topk(emb, k=TOP_K, n_cells=16, nprobe=4)
+    hit = approx.select("query_id", "cand_id").intersect(
+        exact.select("query_id", "cand_id")
+    )
+    total = exact.count()
+    return spark.createDataFrame(
+        [(round(hit.count() / total, 6),)], "recall double"
+    )
+
+
 # ----------------------------------------------- Spark-only (rows-only gate)
 
 
@@ -973,6 +1006,8 @@ QUERIES = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
+    "lsh_recall_report": (q_lsh_recall_report, None),
+    "ivf_recall_report": (q_ivf_recall_report, None),
     "ivf_topk": (q_ivf_topk, None),
     "frame_sample": (q_frame_sample, None),
     "linkage_f1": (q_linkage_f1, None),

@@ -130,15 +130,34 @@ def hubness_measures(
     return out
 
 
+VALID_HUBNESS_MEASURES = [
+    "all",
+    "all_but_gini",
+    "k_skewness",
+    "k_skewness_truncnorm",
+    "atkinson",
+    "gini",
+    "robinhood",
+    "antihub_occurrence",
+    "hub_occurrence",
+    "groupie_ratio",
+]
+
+
 def hubness_score(
     nn_df: DataFrame,
     n_queries: int,
     target_samples: int,
     k: int | None = None,
     hub_size: float = 2.0,
+    return_value: str = "all_but_gini",
 ) -> DataFrame:
     """Driver mirroring estimation.py:197-351: k-truncate, mask negatives,
-    histogram, all measures. nn_df needs (query_id, cand_id, rank)."""
+    histogram, measures; ``return_value`` selects one measure or
+    'all'/'all_but_gini' (the reference's dispatch, VALID_HUBNESS_MEASURES
+    estimation.py:18-32). nn_df needs (query_id, cand_id, rank)."""
+    if return_value not in VALID_HUBNESS_MEASURES:
+        raise ValueError(f"unknown hubness measure: {return_value!r}")
     occ = k_occurrence(nn_df, n_queries, k)
     if k is None:
         k = (
@@ -146,4 +165,20 @@ def hubness_score(
             if "rank" in nn_df.columns
             else nn_df.groupBy("query_id").count().agg(F.max("count")).first()[0]
         )
-    return hubness_measures(occ, k, target_samples, hub_size)
+    out = hubness_measures(
+        occ, k, target_samples, hub_size,
+        include_gini=return_value in ("all", "gini"),
+    )
+    if return_value in ("all", "all_but_gini"):
+        return out
+    return out.select(return_value)
+
+
+def antihubs(k_occ: DataFrame) -> DataFrame:
+    """Entity ids never among anyone's neighbors (estimation.py:152-169)."""
+    return k_occ.filter(F.col("k_occ") == 0).select("entity_id")
+
+
+def hubs(k_occ: DataFrame, k: int, hub_size: float = 2.0) -> DataFrame:
+    """Entity ids with k-occurrence >= hub_size * k (estimation.py:172-194)."""
+    return k_occ.filter(F.col("k_occ") >= hub_size * k).select("entity_id")
