@@ -315,7 +315,8 @@ def q_hubness_measures(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
     n = emb.count()
-    m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K)
+    m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
+                        return_value="all")
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
 
 

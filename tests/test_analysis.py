@@ -26,7 +26,8 @@ def nn_ind():
 @pytest.mark.parametrize("k", [2, 5, 10, 20])
 def test_hubness_measures_parity(spark, nn_ind, k):
     df = nn_long(spark, nn_ind)
-    got = A.hubness_score(df, n_queries=200, target_samples=200, k=k).first().asDict()
+    got = A.hubness_score(df, n_queries=200, target_samples=200, k=k,
+                          return_value="all").first().asDict()
     exp = O.hubness_score(nn_ind, target_samples=200, k=k)
     for key in [
         "k_skewness",
