@@ -119,9 +119,9 @@ def timed_flagship(cores: int) -> tuple[float, int]:
         # best-of-N: this sandbox VM has measurable CPU steal (shared
         # host), so single runs are noise-dominated; the minimum wall
         # time is the standard steady-state estimator under such noise
-        # long low-core runs self-average host-steal noise (1 rep);
-        # short high-core runs take best-of-3
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "1" if cores <= 8 else "3"))
+        # best-of-2 at both levels: symmetric policy so host-steal noise
+        # cannot bias the ratio toward either side
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
         best = float("inf")
         for _ in range(max(1, reps)):
             # drop the persisted candidate table so every rep recomputes
