@@ -369,6 +369,44 @@ FROM agg, mo, lamt
 """
 
 
+def q_antihub_entities(spark, sf_dir):
+    """Entities never retrieved as neighbors (A7, estimation.py:152-169)."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    occ = A.k_occurrence(nn, emb.count(), TOP_K)
+    return A.antihubs(occ).orderBy("entity_id")
+
+
+SQL_ANTIHUB_ENTITIES = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid FROM fwd WHERE r <= {TOP_K}),
+counts AS (SELECT cid, count(*) AS c FROM nn GROUP BY cid),
+ids AS (SELECT DISTINCT vec_id AS entity_id FROM embeddings)
+SELECT ids.entity_id
+FROM ids LEFT JOIN counts ON ids.entity_id = counts.cid
+WHERE coalesce(counts.c, 0) = 0
+ORDER BY ids.entity_id
+"""
+
+
+def q_hub_entities(spark, sf_dir):
+    """Entities with k-occurrence >= 2k (A8, estimation.py:172-194)."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    occ = A.k_occurrence(nn, emb.count(), TOP_K)
+    return A.hubs(occ, TOP_K).orderBy("entity_id")
+
+
+SQL_HUB_ENTITIES = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid FROM fwd WHERE r <= {TOP_K}),
+counts AS (SELECT cid, count(*) AS c FROM nn GROUP BY cid)
+SELECT cid AS entity_id FROM counts
+WHERE c >= 2.0 * {TOP_K}
+ORDER BY cid
+"""
+
+
 def q_hits_at_k(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, N_CAND, "euclidean", exclude_self=True)
@@ -989,6 +1027,8 @@ QUERIES = {
     "k_occurrence": (q_k_occurrence, SQL_K_OCCURRENCE),
     "hubness_measures": (q_hubness_measures, SQL_HUBNESS_MEASURES),
     "hits_at_k": (q_hits_at_k, SQL_HITS_AT_K),
+    "antihub_entities": (q_antihub_entities, SQL_ANTIHUB_ENTITIES),
+    "hub_entities": (q_hub_entities, SQL_HUB_ENTITIES),
     "openea_split": (q_openea_split, SQL_OPENEA_SPLIT),
     "exact_dup_groups": (q_exact_dup_groups, SQL_EXACT_DUP_GROUPS),
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
