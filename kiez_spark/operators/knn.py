@@ -240,10 +240,15 @@ class _BruteKnnKernel:
             xn = np.linalg.norm(xm, axis=1)
             xn[xn == 0] = 1.0
             self.xmn = xm / xn[:, None]
-            self.x32 = self.xmn.astype(np.float32)
+            # sign folded into the index so the GEMM output is directly
+            # monotone in distance (no post-scale pass over the tile)
+            self.x32 = (-self.xmn).astype(np.float32)
         else:
             self.xm = xm
-            self.x32 = xm.astype(np.float32)
+            # -2x folded into the index: GEMM yields -2<q,x>; adding x^2
+            # gives d^2 - q^2, monotone in d^2 per row — the q^2 term
+            # moves into the selection threshold instead of a full pass
+            self.x32 = (-2.0 * xm).astype(np.float32)
             self.x2 = (xm * xm).sum(axis=1)
             self.x2_32 = self.x2.astype(np.float32)
         if exclude_self:
@@ -287,14 +292,18 @@ class _BruteKnnKernel:
             q32 = qmn.astype(np.float32)
         else:
             q32 = qm.astype(np.float32)
-            q2_32 = (q32 * q32).sum(axis=1)
         self_r = self_c = None
         if self.exclude_self:
             self_r, self_c = self._self_positions(q_ids)
 
+        # the tile values are a per-row-monotone transform of the true
+        # distance (-cos_sim, resp. d^2 - q^2 — constants folded into the
+        # index and the threshold), so selection is unchanged while the
+        # tile loop does only: GEMM, (+x^2), threshold-subtract, scalar
+        # compare — two fewer full-array passes per tile
         tile = self.tile
         d = self._d[:m]
-        all_rows, all_cols, all_d = [], [], []
+        all_rows, all_cols = [], []
         thr = None
         for lo in range(0, n, tile):
             hi = min(lo + tile, n)
@@ -307,14 +316,8 @@ class _BruteKnnKernel:
                 if self._d_tail is None or self._d_tail.shape[1] != w:
                     self._d_tail = np.empty((self.batch, w), dtype=np.float32)
                 dt = self._d_tail[:m]
-            if self.is_cos:
-                np.dot(q32, self.x32[lo:hi].T, out=dt)
-                dt *= -1.0
-                dt += 1.0
-            else:
-                np.dot(q32, self.x32[lo:hi].T, out=dt)
-                dt *= -2.0
-                dt += q2_32[:, None]
+            np.dot(q32, self.x32[lo:hi].T, out=dt)
+            if not self.is_cos:
                 dt += self.x2_32[None, lo:hi]
             if self_r is not None:
                 in_tile = (self_c >= lo) & (self_c < hi)
@@ -326,12 +329,12 @@ class _BruteKnnKernel:
                 np.copyto(part, dt)
                 part.partition(kth_i, axis=1)
                 thr = part[:, kth_i].copy()
+            dt -= thr[:, None]
             mask = self._mask[:m, :w]
-            np.less_equal(dt, thr[:, None], out=mask)
+            np.less_equal(dt, 0.0, out=mask)
             r, c = np.nonzero(mask)
             all_rows.append(r)
             all_cols.append(c + lo)
-            all_d.append(dt[r, c])
         rows = np.concatenate(all_rows)
         cols = np.concatenate(all_cols)
         # guarantee: rows/cols hold >= min(sel, finite n) candidates per
@@ -474,7 +477,11 @@ def knn_join_pandas(
     # reverse hubness query; warmups) reuse the worker-side kernel state
     token = cache_token or uuid.uuid4().hex
     q = _prep(queries, id_col, vec_col, None)
-    target_parts = n_partitions or spark.sparkContext.defaultParallelism * 2
+    # 4x parallelism: fine-grained tasks let the scheduler balance around
+    # slow cores (this shared host has CPU steal; real clusters have
+    # stragglers) at negligible per-task cost since kernel state is
+    # worker-cached
+    target_parts = n_partitions or spark.sparkContext.defaultParallelism * 4
     if q.rdd.getNumPartitions() < target_parts:
         q = q.repartition(target_parts)
 
