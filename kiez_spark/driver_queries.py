@@ -178,6 +178,36 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_manhattan(spark, sf_dir):
+    """Manhattan through the fast pandas tier (element-wise kernel branch;
+    reference sklearn backend takes any minkowski p,
+    sklearn_nearest_neighbors.py:51-101)."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "manhattan", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_MANHATTAN = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid, sum(abs(a.val - b.val)) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def _hubness_query(method: str):
     def fn(spark, sf_dir):
         emb = _emb(spark, sf_dir)
@@ -294,6 +324,43 @@ FROM final WHERE r <= {TOP_K}
 """
 
 
+# MP empiric (mutual_proximity.py:185-212): d'_ij = 1 - #{l in cand(i):
+# d_il > d_ij AND dhat_j[c_il] > d_ij} / m, where dhat_j is j's sparse
+# reverse-distance row with default max(rev dists of j) + 1e-6. Single
+# source: the reverse candidate table IS the forward one. The sparse-row
+# probe dhat_j[c_il] is a LEFT JOIN of (j, c_il) onto the candidate table
+# with the per-j default; the counting l-loop is a self-join on qid. The
+# count is integer-exact on both engines, so 6-dp hashes match as long as
+# strict comparisons between DISTINCT pair distances agree — guaranteed at
+# f64 given the knn oracle rows already match to <5e-7.
+SQL_HUBNESS_MP_EMPIRIC = f"""
+WITH {_CAND_SQL},
+mcnt AS (SELECT qid, count(*) AS m FROM cand GROUP BY qid),
+revmax AS (SELECT qid AS j, max(d) + 1e-6 AS defv FROM cand GROUP BY qid),
+hits AS (
+  SELECT f.qid, f.cid, f.d,
+         CASE WHEN l.d > f.d AND coalesce(r.d, rm.defv) > f.d
+              THEN 1 ELSE 0 END AS hit
+  FROM cand f
+  JOIN cand l ON l.qid = f.qid
+  JOIN revmax rm ON rm.j = f.cid
+  LEFT JOIN cand r ON r.qid = f.cid AND r.cid = l.cid
+),
+scored AS (
+  SELECT h.qid, h.cid, 1.0 - (sum(h.hit)::DOUBLE / mc.m) AS d2
+  FROM hits h JOIN mcnt mc ON mc.qid = h.qid
+  GROUP BY h.qid, h.cid, mc.m
+),
+final AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM scored
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d2, 6) AS dist
+FROM final WHERE r <= {TOP_K}
+"""
+
+
 def q_k_occurrence(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
@@ -318,6 +385,33 @@ def q_hubness_measures(spark, sf_dir):
     m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
                         return_value="all")
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
+
+
+def q_atkinson_eps1(spark, sf_dir):
+    """Atkinson with the reference's eps=1 geometric-mean branch
+    (estimation.py:145-148); exercises the parametrized eps path."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
+    n = emb.count()
+    m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
+                        return_value="atkinson", atkinson_eps=1.0)
+    return m.select(F.round("atkinson", 6).alias("atkinson"))
+
+
+SQL_ATKINSON_EPS1 = f"""
+WITH {_PAIRS_SQL},
+nn AS (SELECT qid, cid FROM fwd WHERE r <= {TOP_K}),
+counts AS (SELECT cid, count(*) AS c FROM nn GROUP BY cid),
+ids AS (SELECT DISTINCT vec_id AS entity_id FROM embeddings),
+occ AS (
+  SELECT ids.entity_id, coalesce(counts.c, 0)::DOUBLE AS x
+  FROM ids LEFT JOIN counts ON ids.entity_id = counts.cid
+)
+SELECT round(
+  1.0 - exp(avg(CASE WHEN x <= 0 THEN '-infinity'::DOUBLE ELSE ln(x) END))
+        / avg(x), 6) AS atkinson
+FROM occ
+"""
 
 
 SQL_HUBNESS_MEASURES = f"""
@@ -704,10 +798,12 @@ SELECT src_id, tgt_id, hamming FROM cand WHERE hamming <= 12
 
 
 def q_embedding_neardup(spark, sf_dir):
+    # approx=False pins the exact tier for the hash check; the operator
+    # default auto-switches to the LSH tier past 100k rows
     emb = _emb(spark, sf_dir)
-    return D.embedding_neardup_pairs(emb, max_cos_dist=0.75).select(
-        "src_id", "tgt_id", F.round("cos_dist", 6).alias("cos_dist")
-    )
+    return D.embedding_neardup_pairs(
+        emb, max_cos_dist=0.75, approx=False
+    ).select("src_id", "tgt_id", F.round("cos_dist", 6).alias("cos_dist"))
 
 
 SQL_EMBEDDING_NEARDUP = f"""
@@ -967,11 +1063,11 @@ def q_ivf_recall_report(spark, sf_dir):
     )
 
 
-# ----------------------------------------------- Spark-only (rows-only gate)
-
-
 def q_mp_empiric(spark, sf_dir):
     return _hubness_query("mp_empiric")(spark, sf_dir)
+
+
+# ----------------------------------------------- Spark-only (rows-only gate)
 
 
 def q_lsh_knn_cosine(spark, sf_dir):
@@ -996,6 +1092,22 @@ def q_frame_sample(spark, sf_dir):
     return frames.select("doc_id", "frame_idx", F.length("frame").alias("n_bytes"))
 
 
+def q_linkage_f1_lsh(spark, sf_dir):
+    """North-rule F1 gate on the SCALE path: LSH blocking tier at 4x the
+    exact-tier fixture size (rows-only driver check; the >=0.99 assertion
+    lives in tests/test_synth_lsh_linkage.py)."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import link_files
+
+    files = synth.repos_files(spark, n=1600)
+    res = link_files(spark, files, hubness="none", tier="lsh", max_dist=12.0)
+    return E.pairwise_f1(
+        E.clusters_to_pairs(res.clusters),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
+
+
 def q_linkage_f1(spark, sf_dir):
     """Self-contained linkage quality gate: synthetic repos_files with
     planted gold clusters -> full pipeline -> pairwise F1 row."""
@@ -1017,15 +1129,17 @@ QUERIES = {
     "knn_exact_euclidean": (q_knn_euclidean, SQL_KNN_EUCLIDEAN),
     "knn_exact_expr_tier": (q_knn_euclidean_expr, SQL_KNN_EUCLIDEAN),
     "knn_exact_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
     "hubness_ls": (_hubness_query("ls"), SQL_HUBNESS_LS),
     "hubness_nicdm": (_hubness_query("nicdm"), SQL_HUBNESS_NICDM),
     "hubness_mp_normal": (_hubness_query("mp_normal"), SQL_HUBNESS_MP_NORMAL),
     "hubness_dsl": (_hubness_query("dsl"), SQL_HUBNESS_DSL),
-    "hubness_mp_empiric": (q_mp_empiric, None),
+    "hubness_mp_empiric": (q_mp_empiric, SQL_HUBNESS_MP_EMPIRIC),
     "k_occurrence": (q_k_occurrence, SQL_K_OCCURRENCE),
     "hubness_measures": (q_hubness_measures, SQL_HUBNESS_MEASURES),
+    "atkinson_eps1": (q_atkinson_eps1, SQL_ATKINSON_EPS1),
     "hits_at_k": (q_hits_at_k, SQL_HITS_AT_K),
     "antihub_entities": (q_antihub_entities, SQL_ANTIHUB_ENTITIES),
     "hub_entities": (q_hub_entities, SQL_HUB_ENTITIES),
@@ -1052,4 +1166,5 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, None),
     "frame_sample": (q_frame_sample, None),
     "linkage_f1": (q_linkage_f1, None),
+    "linkage_f1_lsh": (q_linkage_f1_lsh, None),
 }

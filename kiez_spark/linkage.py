@@ -54,9 +54,14 @@ def link_files(
     tier: str = "pandas",
     max_dist: float | None = None,
     checkpoint_dir: str | None = None,
-    lsh_tables: int = 8,
-    lsh_bits: int = 10,
-    lsh_bucket_width: float = 4.0,
+    # euclidean-LSH knobs calibrated for derive_embeddings' distance scale
+    # (near pairs sit below max_dist=12): W must exceed the near-pair
+    # distance or the AND-ed bits collide with ~0 probability — W=32 with
+    # 6 bits x 12 tables gives >0.9 near-pair recall (tests/
+    # test_synth_lsh_linkage.py::test_lsh_euclidean_recall)
+    lsh_tables: int = 12,
+    lsh_bits: int = 6,
+    lsh_bucket_width: float = 32.0,
 ) -> LinkageResult:
     ckpt = StageCheckpointer(spark, checkpoint_dir) if checkpoint_dir else None
 

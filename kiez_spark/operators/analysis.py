@@ -70,38 +70,72 @@ def hubness_measures(
     target_samples: int,
     hub_size: float = 2.0,
     include_gini: bool = True,
+    atkinson_eps: float = 0.5,
 ) -> DataFrame:
     """One-row DataFrame of all scalar hubness measures over a k-occurrence
-    table (entity_id, k_occ). Mirrors estimation.py:197-351."""
+    table (entity_id, k_occ). Mirrors estimation.py:197-351.
+
+    ``atkinson_eps`` follows estimation.py:131-149 including the eps=1
+    geometric-mean branch (log(0) -> -inf -> geometric mean 0 -> index 1,
+    matching numpy).
+    """
     x = F.col("k_occ").cast("double")
+    base = k_occ.select(x.alias("x"))
 
-    # gini needs a rank; compute it on a sorted projection first
-    w = Window.orderBy(F.col("k_occ").asc(), F.col("entity_id").asc())
-    ranked = k_occ.select(x.alias("x"), F.row_number().over(w).alias("i"))
+    if atkinson_eps == 1.0:
+        atk_agg = F.avg(
+            F.when(F.col("x") <= 0.0, F.lit(float("-inf"))).otherwise(
+                F.log(F.col("x"))
+            )
+        ).alias("m_atk")
+        atk_expr = 1.0 - F.exp(F.col("m_atk")) / F.col("mu")
+    else:
+        e1 = 1.0 - atkinson_eps
+        atk_agg = F.avg(F.pow("x", F.lit(e1))).alias("m_atk")
+        atk_expr = 1.0 - F.pow(F.col("m_atk"), F.lit(1.0 / e1)) / F.col("mu")
 
-    aggs = ranked.agg(
+    aggs = base.agg(
         F.count("x").alias("n"),
         F.sum("x").alias("sx"),
         F.avg("x").alias("mu"),
         F.stddev_samp("x").alias("sd1"),
         F.max("x").alias("mx"),
-        F.avg(F.pow("x", 0.5)).alias("m_half"),
+        atk_agg,
         F.sum(F.when(F.col("x") == 0, 1).otherwise(0)).alias("n_anti"),
         F.sum(F.when(F.col("x") >= hub_size * k, F.col("x")).otherwise(0.0)).alias(
             "hub_sum"
         ),
-        F.sum((2.0 * F.col("i") - 1.0) * F.col("x")).alias("gini_num_part"),
         F.skewness("x").alias("k_skewness"),
     )
 
     # second pass for |x - mu| (needs the global mean) — tiny broadcast join
     mu_row = F.broadcast(aggs.select("mu"))
     abs_dev = (
-        ranked.crossJoin(mu_row)
+        base.crossJoin(mu_row)
         .agg(F.sum(F.abs(F.col("x") - F.col("mu"))).alias("sad"))
     )
 
     joined = aggs.crossJoin(F.broadcast(abs_dev))
+
+    if include_gini:
+        # gini's sorted-rank sum Σ(2i-1)·x_i via the VALUE histogram, not a
+        # global row_number window (which would shuffle every entity row to
+        # one task). Cardinality = #distinct k-occurrence values (≈ max
+        # k-occ, tiny at any scale), so the cumulative window over the
+        # histogram is a trivially small single-partition sort. For a value
+        # v with count c after s smaller rows, Σ_{i=s+1..s+c}(2i-1) =
+        # 2sc + c², all integer-exact in f64 → bit-identical to the old
+        # per-row formula.
+        hist = base.groupBy("x").agg(F.count("*").alias("c"))
+        hw = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+        ghist = hist.withColumn("s", F.coalesce(F.sum("c").over(hw), F.lit(0)))
+        gini_part = ghist.agg(
+            F.sum(
+                F.col("x")
+                * (2.0 * F.col("s") * F.col("c") + F.col("c") * F.col("c"))
+            ).alias("gini_num_part")
+        )
+        joined = joined.crossJoin(F.broadcast(gini_part))
 
     n = F.col("n").cast("double")
     a = (F.lit(0.0) - F.col("mu")) / F.col("sd1")
@@ -109,13 +143,18 @@ def hubness_measures(
     sf_a = F.lit(0.5) * erfc_expr(a / F.lit(_SQRT2))
     lam = phi_a / sf_a
 
-    out = joined.select(
+    cols = [
         F.col("k_skewness"),
         (2.0 * lam + a * a * lam).alias("k_skewness_truncnorm"),
-        (1.0 - F.pow(F.col("m_half"), 2.0) / F.col("mu")).alias("atkinson"),
-        ((F.col("gini_num_part") - n * F.col("sx")) / (n * F.col("sx"))).alias(
-            "gini"
-        ),
+        atk_expr.alias("atkinson"),
+    ]
+    if include_gini:
+        cols.append(
+            ((F.col("gini_num_part") - n * F.col("sx")) / (n * F.col("sx"))).alias(
+                "gini"
+            )
+        )
+    cols += [
         (0.5 * F.col("sad") / F.col("sx")).alias("robinhood"),
         (F.col("n_anti") / n).alias("antihub_occurrence"),
         (F.col("hub_sum") / F.lit(float(k)) / F.lit(float(target_samples))).alias(
@@ -124,9 +163,14 @@ def hubness_measures(
         (F.col("mx") / F.lit(float(target_samples)) / F.lit(float(k))).alias(
             "groupie_ratio"
         ),
-    )
-    if not include_gini:
-        out = out.drop("gini")
+    ]
+    out = joined.select(*cols)
+    if include_gini:
+        # keep the reference's column order (gini after atkinson)
+        out = out.select(
+            "k_skewness", "k_skewness_truncnorm", "atkinson", "gini",
+            "robinhood", "antihub_occurrence", "hub_occurrence", "groupie_ratio",
+        )
     return out
 
 
@@ -141,6 +185,10 @@ VALID_HUBNESS_MEASURES = [
     "antihub_occurrence",
     "hub_occurrence",
     "groupie_ratio",
+    # array-valued dispatch targets (estimation.py:18-32)
+    "k_occurrence",
+    "antihubs",
+    "hubs",
 ]
 
 
@@ -151,23 +199,33 @@ def hubness_score(
     k: int | None = None,
     hub_size: float = 2.0,
     return_value: str = "all_but_gini",
+    atkinson_eps: float = 0.5,
 ) -> DataFrame:
     """Driver mirroring estimation.py:197-351: k-truncate, mask negatives,
     histogram, measures; ``return_value`` selects one measure or
-    'all'/'all_but_gini' (the reference's dispatch, VALID_HUBNESS_MEASURES
-    estimation.py:18-32). nn_df needs (query_id, cand_id, rank)."""
+    'all'/'all_but_gini' (the reference's full dispatch incl. the
+    array-valued 'k_occurrence'/'antihubs'/'hubs', VALID_HUBNESS_MEASURES
+    estimation.py:18-32 — returned here as DataFrames). nn_df needs
+    (query_id, cand_id, rank)."""
     if return_value not in VALID_HUBNESS_MEASURES:
         raise ValueError(f"unknown hubness measure: {return_value!r}")
     occ = k_occurrence(nn_df, n_queries, k)
+    if return_value == "k_occurrence":
+        return occ
+    if return_value == "antihubs":
+        return antihubs(occ)
     if k is None:
         k = (
             nn_df.agg(F.max("rank")).first()[0]
             if "rank" in nn_df.columns
             else nn_df.groupBy("query_id").count().agg(F.max("count")).first()[0]
         )
+    if return_value == "hubs":
+        return hubs(occ, k, hub_size)
     out = hubness_measures(
         occ, k, target_samples, hub_size,
         include_gini=return_value in ("all", "gini"),
+        atkinson_eps=atkinson_eps,
     )
     if return_value in ("all", "all_but_gini"):
         return out

@@ -91,7 +91,10 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     # the shingled table feeds the signatures AND both verification sides
     # — persist so shingling (regex + slice + concat per token window)
-    # runs once, not three times
+    # runs once, not three times. Lifetime: the cache entry must outlive
+    # the returned LAZY plan, so it is not unpersisted here; it is
+    # MEMORY_AND_DISK-LRU-evicted under pressure, and batch drivers that
+    # chain many dedup jobs should spark.catalog.clearCache() between them.
     shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
     params = T.minhash_params(n_hashes, seed)
     hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
@@ -245,15 +248,27 @@ def simhash_pairs(
     )
 
 
+EXACT_NEARDUP_MAX_ROWS = 100_000
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     id_col: str = "id",
     vec_col: str = "vec",
     max_cos_dist: float = 0.05,
-    approx: bool = False,
+    approx: bool | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
-    """(src_id, tgt_id, cos_dist <= max) — exact expr join or LSH tier."""
+    """(src_id, tgt_id, cos_dist <= max) — exact expr join or LSH tier.
+
+    ``approx=None`` (default) auto-selects: the exact O(n^2) cross join is
+    only taken when the input is provably small (< EXACT_NEARDUP_MAX_ROWS);
+    otherwise the LSH-bucketed tier runs — the quadratic path must be
+    opted into (approx=False) at scale. The oracle query pins approx=False
+    so the exact tier stays hash-checked; the approx tier's recall is
+    gated in tests/test_recall_gates.py."""
+    if approx is None:
+        approx = emb.count() >= EXACT_NEARDUP_MAX_ROWS
     if approx:
         from kiez_spark.operators.lsh import lsh_candidates
 

@@ -20,6 +20,14 @@ query_id — one exchange that the downstream rank window reuses (same
 partitioning). Per-candidate stats are tiny aggregates (one row per target
 entity) broadcast onto the forward table — no second shuffle of the big
 candidate table.
+
+Approximate-tier totality: under the lsh tier a target entity can have an
+EMPTY reverse candidate list (no bucket collision), so the stats join is a
+LEFT join with the query-side statistic as fallback — forward pairs are
+never silently dropped and the exact tiers (where every target has a full
+reverse list) are bit-identical. ``dsl``/``mp_empiric`` aggregate
+structure (centroids / sparse reverse rows) has no meaningful fallback and
+requires every target to appear as a reverse query (exact tiers only).
 """
 
 from __future__ import annotations
@@ -61,7 +69,8 @@ def csls(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
     return (
         s2t.withColumn("r_test", _row_stat(s2t, F.avg, "row_mean"))
-        .join(F.broadcast(stats), "cand_id")
+        .join(F.broadcast(stats), "cand_id", "left")
+        .withColumn("r_train", F.coalesce("r_train", "r_test"))
         .select(
             "query_id",
             "cand_id",
@@ -81,7 +90,8 @@ def local_scaling(s2t: DataFrame, t2s: DataFrame, method: str = "standard") -> D
         stats = _reverse_stats(t2s, F.max("dist"), "r_train")
         out = (
             s2t.withColumn("r_test", _row_stat(s2t, F.max, "row_max"))
-            .join(F.broadcast(stats), "cand_id")
+            .join(F.broadcast(stats), "cand_id", "left")
+            .withColumn("r_train", F.coalesce("r_train", "r_test"))
             .select(
                 "query_id",
                 "cand_id",
@@ -98,7 +108,8 @@ def local_scaling(s2t: DataFrame, t2s: DataFrame, method: str = "standard") -> D
         stats = _reverse_stats(t2s, F.avg("dist"), "r_train")
         out = (
             s2t.withColumn("r_test", _row_stat(s2t, F.avg, "row_mean"))
-            .join(F.broadcast(stats), "cand_id")
+            .join(F.broadcast(stats), "cand_id", "left")
+            .withColumn("r_train", F.coalesce("r_train", "r_test"))
             .select(
                 "query_id",
                 "cand_id",
@@ -127,7 +138,9 @@ def mutual_proximity_normal(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     return (
         s2t.withColumn("mu_test", _row_stat(s2t, F.avg, "row_mean"))
         .withColumn("sd_test", _row_stat(s2t, F.stddev_pop, "row_std"))
-        .join(F.broadcast(stats), "cand_id")
+        .join(F.broadcast(stats), "cand_id", "left")
+        .withColumn("mu_train", F.coalesce("mu_train", "mu_test"))
+        .withColumn("sd_train", F.coalesce("sd_train", "sd_test"))
         .select("query_id", "cand_id", (1.0 - p1 * p2).alias("dist"))
     )
 
@@ -145,20 +158,35 @@ def mutual_proximity_empiric(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     including its id-space quirk (reverse candidate ids are source ids but
     are probed with forward candidate ids; deterministic either way).
 
-    Plan: aggregate each target j's reverse list once (groupBy + collect),
-    broadcast-join it onto forward candidates, then a grouped
-    ``applyInPandas`` computes the k x k comparison matrix per query.
-    O(m^2) per query — keep n_candidates modest, as the reference does.
+    Plan: aggregate each target j's reverse list once (groupBy into
+    id-sorted parallel arrays), broadcast-join it onto forward candidates,
+    then a grouped ``applyInPandas`` computes the k x k comparison matrix
+    per query — fully vectorized: the sparse dhat_j row is a
+    ``np.searchsorted`` probe of the sorted reverse-id array (no Python
+    dict/list work per candidate). O(m^2) numpy per query — keep
+    n_candidates modest, as the reference does.
+
+    Requires every forward candidate to appear as a reverse query
+    (guaranteed by the exact tiers; see module note on the lsh tier).
     """
     import numpy as np  # noqa: PLC0415 — keep kernel deps local for pickling
     import pandas as pd  # noqa: PLC0415
 
-    rev = t2s.groupBy("query_id").agg(
-        F.collect_list(F.struct("cand_id", "dist")).alias("rev_list"),
-        F.max("dist").alias("rev_max"),
-    ).withColumnRenamed("query_id", "cand_id")
+    rev = (
+        t2s.groupBy("query_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("cand_id", "dist"))).alias("rl"),
+            F.max("dist").alias("rev_max"),
+        )
+        .select(
+            F.col("query_id").alias("cand_id"),
+            F.expr("transform(rl, e -> e.cand_id)").alias("rev_ids"),
+            F.expr("transform(rl, e -> e.dist)").alias("rev_dists"),
+            "rev_max",
+        )
+    )
     joined = s2t.join(F.broadcast(rev), "cand_id").select(
-        "query_id", "cand_id", "dist", "rev_list", "rev_max"
+        "query_id", "cand_id", "dist", "rev_ids", "rev_dists", "rev_max"
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -167,10 +195,12 @@ def mutual_proximity_empiric(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
         c = pdf["cand_id"].to_numpy(np.int64)
         dhat = np.empty((m, m), dtype=np.float64)
         for j in range(m):
-            entries = pdf["rev_list"].iloc[j]
-            default = pdf["rev_max"].iloc[j] + 1e-6
-            lookup = {int(e["cand_id"]): float(e["dist"]) for e in entries}
-            dhat[j, :] = [lookup.get(int(x), default) for x in c]
+            rid = np.asarray(pdf["rev_ids"].iloc[j], dtype=np.int64)
+            rd = np.asarray(pdf["rev_dists"].iloc[j], dtype=np.float64)
+            pos = np.searchsorted(rid, c)
+            posc = np.minimum(pos, len(rid) - 1)
+            hit = rid[posc] == c
+            dhat[j] = np.where(hit, rd[posc], pdf["rev_max"].iloc[j] + 1e-6)
         cnt = ((d[None, :] > d[:, None]) & (dhat > d[:, None])).sum(axis=1)
         return pd.DataFrame(
             {"query_id": pdf["query_id"], "cand_id": c, "dist": 1.0 - cnt / m}

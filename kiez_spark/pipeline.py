@@ -111,11 +111,15 @@ class HubnessKnn:
                 np_idx = K.collect_index(index, c.id_col, c.vec_col)
                 bc = queries.sparkSession.sparkContext.broadcast(np_idx)
                 self._index_np[key] = bc
+            # token tied to this fit's unique uuid — NOT id(self): CPython
+            # reuses freed addresses, so an id(self) token could alias a
+            # stale worker-cached kernel built from a previous fit's index
+            # in the same Spark app
             cands = K.knn_join_pandas(
                 queries, index, k, c.metric,
                 id_col=c.id_col, vec_col=c.vec_col, exclude_self=exclude_self,
                 index_bc=self._index_np[key],
-                cache_token=f"{id(self)}-{key}-{k}",
+                cache_token=f"{self._fit_token}-{key}-{k}",
             )
             # kernel output is already per-query top-k with ranks and the
             # engine tie-break -- no extra rank window (saves a shuffle)
@@ -143,11 +147,23 @@ class HubnessKnn:
         raise AssertionError(c.tier)
 
     def fit(self, source: DataFrame, target: DataFrame | None = None) -> "HubnessKnn":
+        import uuid
+
+        self.release()
         self.single_source = target is None
         self.source_ = source
         self.target_ = source if target is None else target
         self._index_np: dict = {}
+        self._fit_token = uuid.uuid4().hex[:12]
         return self
+
+    def release(self) -> None:
+        """Unpersist candidate tables cached by kneighbors(). Called
+        automatically on re-fit; call it explicitly when done with an
+        engine to return executor storage memory."""
+        for df in getattr(self, "_persisted", []):
+            df.unpersist()
+        self._persisted: list[DataFrame] = []
 
     def _set_k(self, k: int | None) -> int:
         c = self.config
@@ -188,23 +204,31 @@ class HubnessKnn:
             # the reverse (t->s) candidate table is IDENTICAL to the
             # forward one (same entity set, symmetric metric, same k):
             # compute once, persist so the stats aggregation and the
-            # scoring pass share one materialization
+            # scoring pass share one materialization. t2s_flat is the SAME
+            # DataFrame object — transforms only read (query_id, cand_id,
+            # dist) from it, and dis_sim_local's `t2s is s2t` single-source
+            # shortcut (delta_j == delta_i) depends on object identity.
             s2t_flat = s2t_flat.persist()
+            self._persisted.append(s2t_flat)
             t2s_flat = s2t_flat
         else:
             t2s = self._candidates(self.target_, self.source_, c.n_candidates, excl)
             t2s_flat = t2s.select("query_id", "cand_id", "dist")
-        t2s_flat = t2s_flat.select("query_id", "cand_id", "dist")
 
         if c.hubness == "dsl":
             src = self.source_.select(
                 self.source_[c.id_col].cast("bigint").alias("id"),
                 self.source_[c.vec_col].cast("array<double>").alias("vec"),
             )
-            tgt = self.target_.select(
-                self.target_[c.id_col].cast("bigint").alias("id"),
-                self.target_[c.vec_col].cast("array<double>").alias("vec"),
-            )
+            if self.single_source:
+                # same OBJECT, so dis_sim_local's identity-based
+                # single-source shortcut (delta_j == delta_i) engages
+                tgt = src
+            else:
+                tgt = self.target_.select(
+                    self.target_[c.id_col].cast("bigint").alias("id"),
+                    self.target_[c.vec_col].cast("array<double>").alias("vec"),
+                )
             rescored = H.dis_sim_local(s2t_flat, t2s_flat, src, tgt, c.metric)
         else:
             rescored = H.TRANSFORMS[c.hubness](s2t_flat, t2s_flat)

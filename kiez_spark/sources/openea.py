@@ -15,8 +15,10 @@ the gold links. Here every artifact is a DataFrame:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kiez_spark.functions.ranking import dense_row_number
 
 
 def load_embeddings_npy(spark: SparkSession, path: str) -> DataFrame:
@@ -46,11 +48,15 @@ def split_embeddings(emb: DataFrame, ids: DataFrame) -> DataFrame:
     """Membership filter + dense re-numbering (the _split_emb /
     _seperate_common_embedding semantics, data_loading.py:23-72):
     rows of ``emb`` whose row_idx appears in ``ids`` get new ids
-    0..n-1 in row_idx order. Returns (new_id, row_idx, uri, vec)."""
+    0..n-1 in row_idx order. Returns (new_id, row_idx, uri, vec).
+
+    The renumber is the scalable bucket-offset scheme
+    (functions/ranking.dense_row_number), NOT a global
+    ``Window.orderBy`` — which would shuffle the entire membership
+    table into one task."""
     member = emb.join(ids, "row_idx")
-    w = Window.orderBy("row_idx")
-    return member.select(
-        (F.row_number().over(w) - 1).alias("new_id"), "row_idx", "uri", "vec"
+    return dense_row_number(member, "row_idx", out_col="new_id").select(
+        "new_id", "row_idx", "uri", "vec"
     )
 
 

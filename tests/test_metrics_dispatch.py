@@ -1,0 +1,125 @@
+"""Round-2 parity additions: element-wise metrics in the fast tiers and
+the full hubness_score dispatch incl. parametrized Atkinson eps.
+
+Mirrors /root/reference/kiez/neighbors/exact/sklearn_nearest_neighbors.py
+(any minkowski p) and /root/reference/kiez/analysis/estimation.py:18-32,
+131-149 (array-valued return_values; eps=1 geometric-mean branch).
+"""
+
+import numpy as np
+import pytest
+
+from kiez_spark.operators import analysis as A
+from kiez_spark.operators import knn as K
+from kiez_spark.oracle import numpy_oracle as O
+
+
+def nn_long(spark, nn_ind):
+    rows = [
+        (int(i), int(r) + 1, int(nn_ind[i, r]))
+        for i in range(nn_ind.shape[0])
+        for r in range(nn_ind.shape[1])
+    ]
+    return spark.createDataFrame(rows, "query_id bigint, rank int, cand_id bigint")
+
+
+def _collect_nn(df):
+    return {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["dist"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("metric", ["manhattan", "minkowski_3"])
+def test_pandas_tier_elementwise_metric_matches_expr(
+    spark, source_df, target_df, metric
+):
+    """The pandas kernel's element-wise branch must agree with the
+    declarative expr tier (which is oracle-checked) exactly on indices
+    and to f64 tolerance on distances."""
+    exp = _collect_nn(K.knn_join_expr(source_df, target_df, 5, metric))
+    got = _collect_nn(K.knn_join_pandas(source_df, target_df, 5, metric))
+    assert set(got) == set(exp)
+    for key, (cid, dist) in exp.items():
+        gcid, gdist = got[key]
+        assert gcid == cid, key
+        assert gdist == pytest.approx(dist, rel=1e-9), key
+
+
+def test_blocked_tier_manhattan(spark, source_target):
+    """Blocked (cogrouped) tier supports the element-wise family too."""
+    src, tgt = source_target
+    rows_q = [(i, [float(x) for x in r], int(i % 2)) for i, r in enumerate(src)]
+    rows_x = [(i, [float(x) for x in r], int(i % 2)) for i, r in enumerate(tgt)]
+    q = spark.createDataFrame(rows_q, "id bigint, vec array<double>, block int")
+    x = spark.createDataFrame(rows_x, "id bigint, vec array<double>, block int")
+    got = K.knn_join_blocked(q, x, 3, "manhattan", block_col="block")
+    exp = K.topk(
+        K.knn_join_expr(q, x, 10_000, "manhattan", block_col="block"), 3
+    )
+    g = {(r["query_id"], r["cand_id"]): r["dist"] for r in got.collect()}
+    e = {(r["query_id"], r["cand_id"]): r["dist"] for r in exp.collect()}
+    assert set(g) == set(e)
+    for key in e:
+        assert g[key] == pytest.approx(e[key], rel=1e-9)
+
+
+def test_unsupported_metric_raises():
+    with pytest.raises(ValueError):
+        K._metric_p("hamming-ish")
+
+
+@pytest.fixture(scope="module")
+def nn_small():
+    rng = np.random.RandomState(7)
+    return rng.randint(0, 100, size=(100, 10)).astype(np.int64)
+
+
+def test_hubness_score_array_dispatch(spark, nn_small):
+    """return_value in {k_occurrence, antihubs, hubs} routes to the
+    corresponding table (estimation.py:18-32) instead of ValueError."""
+    df = nn_long(spark, nn_small)
+    k = 5
+    occ = O.k_occurrence(nn_small, 100, k)
+    got_occ = A.hubness_score(df, 100, 100, k=k, return_value="k_occurrence")
+    got = {r["entity_id"]: r["k_occ"] for r in got_occ.collect()}
+    assert got == {i: int(occ[i]) for i in range(len(occ))}
+
+    anti = A.hubness_score(df, 100, 100, k=k, return_value="antihubs")
+    assert sorted(r["entity_id"] for r in anti.collect()) == sorted(
+        np.argwhere(occ == 0).ravel().tolist()
+    )
+
+    hubs = A.hubness_score(df, 100, 100, k=k, return_value="hubs")
+    assert sorted(r["entity_id"] for r in hubs.collect()) == sorted(
+        np.argwhere(occ >= 2.0 * k).ravel().tolist()
+    )
+
+
+@pytest.mark.parametrize("eps", [0.5, 1.0, 2.0])
+def test_atkinson_eps_parity(spark, nn_small, eps):
+    df = nn_long(spark, nn_small)
+    k = 5
+    got = (
+        A.hubness_score(df, 100, 100, k=k, return_value="atkinson",
+                        atkinson_eps=eps)
+        .first()["atkinson"]
+    )
+    occ = O.k_occurrence(nn_small, 100, k)
+    exp = O.atkinson_index(occ, eps=eps)
+    assert got == pytest.approx(exp, rel=1e-9, abs=1e-12)
+
+
+def test_atkinson_eps1_no_zeros(spark):
+    """eps=1 geometric-mean branch on an all-positive histogram (the
+    non-degenerate case; zeros force the index to 1 on both sides)."""
+    nn = np.array([[1, 2], [0, 2], [0, 1], [0, 3], [1, 3], [2, 3]])
+    df = nn_long(spark, nn)
+    got = (
+        A.hubness_score(df, 4, 4, k=2, return_value="atkinson",
+                        atkinson_eps=1.0)
+        .first()["atkinson"]
+    )
+    occ = O.k_occurrence(nn, 4, 2)
+    assert (occ > 0).all()
+    assert got == pytest.approx(O.atkinson_index(occ, eps=1.0), rel=1e-9)

@@ -1,0 +1,83 @@
+"""Recall GATES (not just reports) for the approximate tiers, mirroring
+the reference's exact-vs-approx test semantics
+(/root/reference/tests/neighbors/test_faiss.py:22-46): fixed seeds, a
+clustered dataset the approximate index is designed for, and a hard
+floor assertion so recall regressions fail CI instead of drifting.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kiez_spark.operators import dedup as D
+from kiez_spark.operators import knn as K
+from kiez_spark.operators import lsh as L
+from kiez_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    """300 points in 12 tight gaussian clusters (dim 16, seed 7) — the
+    regime LSH/IVF bucketing is built for."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(12, 16) * 4.0
+    pts = centers[np.arange(300) % 12] + rng.randn(300, 16) * 0.15
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(300)]
+    return spark.createDataFrame(rows, "id bigint, vec array<double>").cache()
+
+
+def test_lsh_recall_floor(spark, clustered_df):
+    exact = K.knn_join_expr(clustered_df, clustered_df, 5, "cosine",
+                            exclude_self=True)
+    approx = K.topk(
+        L.lsh_candidates(clustered_df, clustered_df, "cosine",
+                         n_tables=8, n_bits=8, seed=42, exclude_self=True),
+        5,
+    )
+    recall = L.lsh_recall(approx, exact)
+    assert recall >= 0.8, f"LSH recall regressed: {recall:.3f}"
+
+
+def test_ivf_recall_floor(spark, clustered_df):
+    emb = clustered_df.select(F.col("id").alias("vec_id"),
+                              F.col("vec").alias("embedding"))
+    exact = SIM.cosine_topk(emb, k=5)
+    approx = SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4)
+    hit = approx.select("query_id", "cand_id").intersect(
+        exact.select("query_id", "cand_id")
+    )
+    recall = hit.count() / exact.count()
+    assert recall >= 0.7, f"IVF recall regressed: {recall:.3f}"
+
+
+def test_embedding_neardup_approx_recall(spark):
+    """Planted near-duplicates: every base vector gets a tiny-noise copy.
+    The LSH near-dup tier must recover >= 90% of the exact pair set."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(150, 16)
+    dup = base + rng.randn(150, 16) * 0.01
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    rows += [(1000 + i, [float(x) for x in dup[i]]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "id bigint, vec array<double>").cache()
+
+    exact = D.embedding_neardup_pairs(emb, max_cos_dist=0.01, approx=False)
+    approx = D.embedding_neardup_pairs(
+        emb, max_cos_dist=0.01, approx=True, n_tables=8, n_bits=8, seed=42
+    )
+    e = {(r["src_id"], r["tgt_id"]) for r in exact.collect()}
+    a = {(r["src_id"], r["tgt_id"]) for r in approx.collect()}
+    assert len(e) >= 150  # every planted pair is a near-dup
+    assert not a - e  # approx pairs are verified exact — no false positives
+    recall = len(a & e) / len(e)
+    assert recall >= 0.9, f"near-dup LSH recall regressed: {recall:.3f}"
+
+
+def test_neardup_auto_tier_small_input_is_exact(spark):
+    """approx=None on a small input takes the exact path (same result as
+    approx=False)."""
+    rng = np.random.RandomState(3)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    auto = D.embedding_neardup_pairs(emb, max_cos_dist=0.5)
+    exact = D.embedding_neardup_pairs(emb, max_cos_dist=0.5, approx=False)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, exact.collect()))

@@ -91,6 +91,24 @@ def test_linkage_f1(spark, files, hubness):
     assert row.f1 >= 0.99, f"pairwise F1 {row.f1} < 0.99 (hubness={hubness})"
 
 
+def test_linkage_f1_lsh_tier_at_scale(spark):
+    """The north-rule F1 >= 0.99 gate on the SCALE path: approximate
+    LSH blocking (not the exact kernel) at 4x the base fixture size.
+    Proves the blocking tier's recall is good enough that end-to-end
+    cluster quality holds when the exact tier is out of budget."""
+    files_big = synth.repos_files(spark, n=1600).cache()
+    res = link_files(
+        spark, files_big, dim=32, k=5, n_candidates=10,
+        hubness="none", tier="lsh", max_dist=12.0,
+    )
+    pred_pairs = E.clusters_to_pairs(res.clusters)
+    gold = synth.gold_pairs(files_big)
+    row = E.pairwise_f1(
+        pred_pairs, gold, pred_cols=("u", "v"), gold_cols=("src_id", "tgt_id")
+    ).first()
+    assert row.f1 >= 0.99, f"LSH-tier pairwise F1 {row.f1} < 0.99"
+
+
 def test_checkpoint_resume(spark, files, tmp_path):
     d = str(tmp_path / "ckpt")
     res1 = link_files(spark, files, max_dist=12.0, checkpoint_dir=d)
