@@ -214,22 +214,31 @@ def _dist_to_centroid(
 ) -> DataFrame:
     """delta_q = || self_vec_q - mean(member vecs of q's candidates) ||^2.
 
-    Element-wise group centroid via posexplode + groupBy(query, pos) —
-    stays in whole-stage codegen, no Python. Returns (query_id, <out>).
+    Element-wise group centroid WITHOUT exploding vectors: a
+    ``collect_list`` of the (bounded: n_candidates) member vectors per
+    query, folded element-wise with ``aggregate``/``zip_with`` — one
+    shuffle of k vectors per query instead of a (query, dim)-exploded
+    shuffle of k*dim rows. Whole-stage codegen, no Python. Returns
+    (query_id, <out>).
     """
-    exploded = (
+    grouped = (
         cands.join(member_vecs, cands["cand_id"] == member_vecs["id"])
-        .select("query_id", F.posexplode("vec").alias("pos", "val"))
-        .groupBy("query_id", "pos")
-        .agg(F.avg("val").alias("cent"))
-    )
-    self_exploded = self_vecs.select(
-        F.col("id").alias("query_id"), F.posexplode("vec").alias("pos", "sval")
-    )
-    return (
-        exploded.join(self_exploded, ["query_id", "pos"])
         .groupBy("query_id")
-        .agg(F.sum((F.col("sval") - F.col("cent")) ** 2).alias(out))
+        .agg(F.collect_list("vec").alias("vs"))
+    )
+    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at("vs", 1)))
+    cent = F.transform(
+        F.aggregate(
+            F.col("vs"), zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)
+        ),
+        lambda s: s / F.size("vs"),
+    )
+    centroids = grouped.select("query_id", cent.alias("cent"))
+    selfs = self_vecs.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("svec")
+    )
+    return centroids.join(selfs, "query_id").select(
+        "query_id", sqeuclidean(F.col("svec"), F.col("cent")).alias(out)
     )
 
 

@@ -107,6 +107,51 @@ def main() -> int:
         dump,
     )
 
+    # 5. OpenEA dense renumber: the membership table's row_number window
+    #    is partitioned by the range bucket (parallel), NOT a global
+    #    single-partition sort. The only SinglePartition exchange allowed
+    #    is the tiny per-bucket offsets window (#buckets rows).
+    from kiez_spark.sources.openea import split_embeddings
+
+    emb_idx = spark.range(2000).select(
+        F.col("id").alias("row_idx"),
+        F.array(F.rand(1), F.rand(2)).alias("vec"),
+    )
+    ids = spark.range(0, 2000, 2).select(
+        F.col("id").alias("row_idx"), F.concat(F.lit("u"), F.col("id")).alias("uri")
+    )
+    p5 = plan_of(split_embeddings(emb_idx, ids))
+    ok &= check(
+        "openea renumber: bucket-partitioned window",
+        p5,
+        ["hashpartitioning(_bkt"],
+        dump,
+    )
+    import re as _re
+
+    sp5 = len(_re.findall(r"Exchange SinglePartition", p5))
+    assert sp5 <= 1, (
+        f"openea split must not single-partition the member table: {sp5}"
+    )
+
+    # 6. gini: the sorted-rank sum runs over the k-occurrence VALUE
+    #    histogram (grouped shuffle), never a global row_number over the
+    #    entity table. SinglePartition exchanges remain only above
+    #    aggregates (scalar aggs + the tiny histogram cumsum).
+    from kiez_spark.operators import analysis as A
+
+    k_occ = spark.range(3000).select(
+        F.col("id").alias("entity_id"), F.pmod(F.col("id"), F.lit(17)).alias("k_occ")
+    )
+    p6 = plan_of(A.hubness_measures(k_occ, k=5, target_samples=3000))
+    ok &= check(
+        "gini: value-histogram aggregation",
+        p6,
+        ["hashpartitioning(x"],
+        dump,
+    )
+    assert "row_number" not in p6, "gini must not rank the full entity table"
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
