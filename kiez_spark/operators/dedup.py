@@ -48,6 +48,13 @@ def exact_duplicates(
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
+    # an under-partitioned source (a scan with few file splits) would run
+    # the whole tokenize+shingle stage on a couple of cores — spread it to
+    # the cluster's parallelism first (no-op on well-partitioned inputs;
+    # the same guard knn_join_pandas uses)
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     tok = T.tokens(F.col(text_col))
     return df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
