@@ -236,17 +236,23 @@ def main():
             f" {t_hi:.1f}s, efficiency {eff:.2f}",
             file=sys.stderr,
         )
-        # supplementary: same kernel, same input, no JVM co-scheduling
-        k_lo = timed_kernel(lo_cores)
-        k_hi = timed_kernel(hi_cores)
-        k_eff = (k_lo / k_hi) / (hi_cores / lo_cores)
+        # supplementary: same kernel, same input, no JVM co-scheduling —
+        # run at 4 -> 16 procs (the harder pair: 16 workers is where DRAM
+        # contention would show if the blocking scheme regressed)
+        k_lo_procs, k_hi_procs = 4, 16
+        k_lo = timed_kernel(k_lo_procs)
+        k_hi = timed_kernel(k_hi_procs)
+        k_eff = (k_lo / k_hi) / (k_hi_procs / k_lo_procs)
         scaling["kernel_only"] = {
+            "procs_lo": k_lo_procs,
+            "procs_hi": k_hi_procs,
             "wall_lo_sec": round(k_lo, 3),
             "wall_hi_sec": round(k_hi, 3),
             "efficiency": round(k_eff, 3),
         }
         print(
-            f"  kernel-only: {k_lo:.1f}s -> {k_hi:.1f}s, efficiency {k_eff:.2f}",
+            f"  kernel-only {k_lo_procs}->{k_hi_procs} procs:"
+            f" {k_lo:.1f}s -> {k_hi:.1f}s, efficiency {k_eff:.2f}",
             file=sys.stderr,
         )
         time.sleep(5)
