@@ -37,7 +37,12 @@ def dense_row_number(
     ``order_col`` values are unique — callers must pass a unique column).
     """
     spark = df.sparkSession
-    nb = buckets or spark.sparkContext.defaultParallelism * 4
+    # cap the bucket count: each boundary adds one indicator term to the
+    # bucket expression, and a 1000-executor cluster's defaultParallelism
+    # would otherwise inflate the Catalyst tree into the 10^5-node range.
+    # 256 buckets bound the largest bucket-local sort at n/256 rows —
+    # plenty of parallelism for a window stage at any n.
+    nb = buckets or min(spark.sparkContext.defaultParallelism * 4, 256)
     probs = [i / nb for i in range(1, nb)]
     bounds = df.stat.approxQuantile(order_col, probs, 0.001)
     uniq = sorted(set(bounds))
