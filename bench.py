@@ -75,7 +75,10 @@ def run_queries(spark, names, sf_dir):
     return times
 
 
-SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "200000"))
+# 160k keeps the 3-pair interleaved scaling block ~5 min (like round 1's
+# bench wall) while leaving the hi-level run long enough (~17s) that the
+# ~1.3s fixed per-run overhead costs <0.03 efficiency
+SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "160000"))
 SCALE_DIM = int(os.environ.get("SPARK_GRAFT_SCALE_DIM", "32"))
 SCALE_PATH = f"/tmp/bench_scale_emb_{SCALE_N}_{SCALE_DIM}"
 N_CAND_SCALE = 5
