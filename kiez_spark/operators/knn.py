@@ -338,14 +338,15 @@ class _BruteKnnKernel:
         return np.nonzero(hit)[0], self.xsort[pos[hit]]
 
     def query_chunk(self, q_ids, qm):
-        """Cache-blocked selection: the index is streamed in TILE-column
-        slabs so the (m x tile) distance block stays cache-resident —
-        the full (m x n) matrix is never materialized, which keeps the
-        low-arithmetic-intensity GEMM compute-bound instead of
-        DRAM-bound (the faiss IndexFlat blocking scheme). Tile 1's exact
-        sel-th value is a valid global threshold: every global top-sel
-        candidate is <= it, so the pooled candidates are supersets of
-        the true top-sel per row."""
+        """Cache-blocked selection, slab + resident sub-tiles (see
+        __init__): one full-width slab yields the exact per-row sel-th
+        threshold (valid global bound: every global top-sel value is <=
+        the slab's sel-th), then the rest of the index streams through a
+        small reused sub-tile whose GEMM/compare/extraction never leave
+        cache. The full (m x n) matrix is never materialized, and the
+        pooled candidates are a provable superset of the true top-sel
+        per row — the f32 pre-cut below recovers exactly the global
+        sel-th before the f64 rerank."""
         n = self.x32.shape[0]
         m = len(q_ids)
         kk = min(self.k, n)
@@ -365,11 +366,10 @@ class _BruteKnnKernel:
         if self.exclude_self:
             self_r, self_c = self._self_positions(q_ids)
 
-        # the tile values are a per-row-monotone transform of the true
-        # distance (-cos_sim, resp. d^2 - q^2 — constants folded into the
-        # index and the threshold), so selection is unchanged while the
-        # tile loop does only: GEMM, (+x^2), threshold-subtract, scalar
-        # compare — two fewer full-array passes per tile
+        # block values are a per-row-monotone transform of the true
+        # distance (-cos_sim, resp. d^2 - q^2 with the constants folded
+        # into the GEMM operands), so selection semantics are unchanged
+        # while each block costs exactly one GEMM + one fused compare
         pool_r, pool_c, pool_v, pool_p = [], [], [], []
         offset = np.zeros(m, dtype=np.int64)
         row_range = np.arange(m)
