@@ -14,6 +14,14 @@ Cross-engine determinism contract:
 - erfc: the same Abramowitz-Stegun 7.1.26 polynomial on both sides
 - ranks: row_number with (value, id) tie-break on both sides
 - doubles: round(x, 6) on both sides
+- sparse-row probes (mp_empiric's dhat): LEFT JOIN onto the candidate
+  table with a per-key default — counts are integer-exact, so 6-dp
+  hashes match as long as strict comparisons between DISTINCT pair
+  distances agree (guaranteed at f64 given the knn rows hash-match)
+- metrics DuckDB lacks a list function for (manhattan): unnest with
+  generate_subscripts and join on the position
+- ln(0) differs across engines: Spark log(0) is NULL, DuckDB ln(0)
+  errors — both sides use CASE WHEN x <= 0 THEN -infinity (atkinson ε=1)
 """
 
 from __future__ import annotations
