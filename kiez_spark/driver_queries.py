@@ -391,7 +391,7 @@ def q_hubness_measures(spark, sf_dir):
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
     n = emb.count()
     m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
-                        return_value="all")
+                        return_value="all", n_cols=TOP_K)
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
 
 
@@ -402,7 +402,8 @@ def q_atkinson_eps1(spark, sf_dir):
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
     n = emb.count()
     m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
-                        return_value="atkinson", atkinson_eps=1.0)
+                        return_value="atkinson", atkinson_eps=1.0,
+                        n_cols=TOP_K)
     return m.select(F.round("atkinson", 6).alias("atkinson"))
 
 
@@ -550,14 +551,19 @@ GROUP BY ks.k
 
 def q_openea_split(spark, sf_dir):
     """S3 loader semantics (io/data_loading.py:23-72): membership filter +
-    dense re-numbering. 'kg1' = even vec_ids, re-id by row_number order."""
-    emb = _emb(spark, sf_dir)
-    from pyspark.sql import Window
+    dense re-numbering. 'kg1' = even vec_ids, re-id ascending by id.
 
+    Routes through the SCALABLE renumber (functions/ranking.
+    dense_row_number: range-bucketed, bucket-local windows) — never a
+    global single-partition ``Window.orderBy``. Output over unique ids is
+    identical to row_number() - 1, so the oracle is unchanged; the plan is
+    additionally asserted in tools/explain_plans.py."""
+    from kiez_spark.functions.ranking import dense_row_number
+
+    emb = _emb(spark, sf_dir)
     kg1 = emb.filter(F.col("id") % 2 == 0)
-    w = Window.orderBy("id")
-    return kg1.select(
-        (F.row_number().over(w) - 1).alias("new_id"),
+    return dense_row_number(kg1, "id", out_col="new_id").select(
+        F.col("new_id").cast("int").alias("new_id"),
         F.col("id").alias("orig_id"),
     )
 

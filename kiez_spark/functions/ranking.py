@@ -35,6 +35,10 @@ def dense_row_number(
     """Add ``out_col`` = global row number of ``df`` ordered by
     ``order_col`` (ties broken arbitrarily-but-deterministically only if
     ``order_col`` values are unique — callers must pass a unique column).
+
+    NULL ``order_col`` values sort FIRST (bucket -1, matching
+    ``Window.orderBy``'s asc-nulls-first default); their relative order is
+    arbitrary, as it was under the global window.
     """
     spark = df.sparkSession
     # cap the bucket count: each boundary adds one indicator term to the
@@ -47,11 +51,16 @@ def dense_row_number(
     bounds = df.stat.approxQuantile(order_col, probs, 0.001)
     uniq = sorted(set(bounds))
     c = F.col(order_col).cast("double")
-    # flat sum-of-indicators bucket id: order-preserving, literal-driven
-    bucket = reduce(
-        lambda acc, b: acc + (c > F.lit(float(b))).cast("int"),
-        uniq,
-        F.lit(0),
+    # flat sum-of-indicators bucket id: order-preserving, literal-driven.
+    # NULL order values get bucket -1 (before every data bucket) — the
+    # indicator sum is NULL on NULL input and an inner join on a NULL key
+    # would silently drop the row otherwise.
+    bucket = F.when(c.isNull(), F.lit(-1)).otherwise(
+        reduce(
+            lambda acc, b: acc + (c > F.lit(float(b))).cast("int"),
+            uniq,
+            F.lit(0),
+        )
     )
     dfb = df.withColumn("_bkt", bucket)
     counts = dfb.groupBy("_bkt").count()

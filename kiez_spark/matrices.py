@@ -24,19 +24,20 @@ def to_matrices(
     """(query_id, cand_id, dist, rank) -> (dist (n,k) float64 NaN-padded,
     ind (n,k) int64 -1-padded); ``return_distance=False`` -> ind only
     (mirrors Kiez.kneighbors' return_distance flag, kiez.py:217-223)."""
-    rows = nn_df.select("query_id", "cand_id", "dist", "rank").collect()
-    if not rows:
+    pdf = nn_df.select("query_id", "cand_id", "dist", "rank").toPandas()
+    if pdf.empty:
         shape = (n_queries or 0, k or 0)
         return (np.full(shape, np.nan), np.full(shape, -1, dtype=np.int64)) \
             if return_distance else np.full(shape, -1, dtype=np.int64)
-    n = n_queries or max(r.query_id for r in rows) + 1
-    kk = k or max(r.rank for r in rows)
+    qid = pdf["query_id"].to_numpy(np.int64)
+    rnk = pdf["rank"].to_numpy(np.int64)
+    n = n_queries or int(qid.max()) + 1
+    kk = k or int(rnk.max())
     dist = np.full((n, kk), np.nan)
     ind = np.full((n, kk), -1, dtype=np.int64)
-    for r in rows:
-        if r.rank <= kk and r.query_id < n:
-            dist[r.query_id, r.rank - 1] = r.dist
-            ind[r.query_id, r.rank - 1] = r.cand_id
+    m = (rnk <= kk) & (qid < n)
+    dist[qid[m], rnk[m] - 1] = pdf["dist"].to_numpy(np.float64)[m]
+    ind[qid[m], rnk[m] - 1] = pdf["cand_id"].to_numpy(np.int64)[m]
     if return_distance:
         return dist, ind
     return ind

@@ -22,6 +22,7 @@ All measures return in ONE job over the histogram — cheap at any scale
 from __future__ import annotations
 
 import math
+import warnings
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -200,15 +201,37 @@ def hubness_score(
     hub_size: float = 2.0,
     return_value: str = "all_but_gini",
     atkinson_eps: float = 0.5,
+    n_cols: int | None = None,
 ) -> DataFrame:
     """Driver mirroring estimation.py:197-351: k-truncate, mask negatives,
     histogram, measures; ``return_value`` selects one measure or
     'all'/'all_but_gini' (the reference's full dispatch incl. the
     array-valued 'k_occurrence'/'antihubs'/'hubs', VALID_HUBNESS_MEASURES
     estimation.py:18-32 — returned here as DataFrames). nn_df needs
-    (query_id, cand_id, rank)."""
+    (query_id, cand_id, rank).
+
+    ``n_cols``: the neighbor-table width (max rank), when the caller
+    knows it. A requested k beyond the available neighbors is clamped
+    with a warning (estimation.py:277-281); with ``n_cols=None`` the
+    width is measured with one tiny scalar agg over nn_df (pass the hint
+    to skip that job on an unpersisted candidate table)."""
     if return_value not in VALID_HUBNESS_MEASURES:
         raise ValueError(f"unknown hubness measure: {return_value!r}")
+    if k is not None:
+        width = n_cols
+        if width is None:
+            width = (
+                nn_df.agg(F.max("rank")).first()[0]
+                if "rank" in nn_df.columns
+                else nn_df.groupBy("query_id").count().agg(F.max("count")).first()[0]
+            )
+        if width is not None and k > width:
+            warnings.warn(
+                f"k={k} > the {width} neighbors available per query;"
+                f" clamping k to {width} (reference estimation.py:277-281)",
+                stacklevel=2,
+            )
+            k = int(width)
     occ = k_occurrence(nn_df, n_queries, k)
     if return_value == "k_occurrence":
         return occ

@@ -18,6 +18,8 @@ inverted index keeps the worst posting list O(cap^2).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -264,18 +266,32 @@ def embedding_neardup_pairs(
     vec_col: str = "vec",
     max_cos_dist: float = 0.05,
     approx: bool | None = None,
+    n_rows: int | None = None,
     **lsh_kwargs,
 ) -> DataFrame:
     """(src_id, tgt_id, cos_dist <= max) — exact expr join or LSH tier.
 
     ``approx=None`` (default) auto-selects: the exact O(n^2) cross join is
     only taken when the input is provably small (< EXACT_NEARDUP_MAX_ROWS);
-    otherwise the LSH-bucketed tier runs — the quadratic path must be
-    opted into (approx=False) at scale. The oracle query pins approx=False
+    otherwise the LSH-bucketed tier runs (with a warning — recall is high
+    but below 1) — the quadratic path must be opted into (approx=False)
+    at scale. Auto-selection needs the input size: pass ``n_rows`` when
+    you already know it, else an EAGER ``emb.count()`` job runs at
+    plan-build time (callers chaining many dedup jobs should pass the
+    hint or pin ``approx`` explicitly). The oracle query pins approx=False
     so the exact tier stays hash-checked; the approx tier's recall is
     gated in tests/test_recall_gates.py."""
     if approx is None:
-        approx = emb.count() >= EXACT_NEARDUP_MAX_ROWS
+        n = n_rows if n_rows is not None else emb.count()
+        approx = n >= EXACT_NEARDUP_MAX_ROWS
+        if approx:
+            warnings.warn(
+                f"embedding_neardup_pairs: input has {n} rows (>="
+                f" {EXACT_NEARDUP_MAX_ROWS}); auto-selecting the"
+                " approximate LSH tier. Pass approx=False to force the"
+                " exact O(n^2) join.",
+                stacklevel=2,
+            )
     if approx:
         from kiez_spark.operators.lsh import lsh_candidates
 

@@ -65,6 +65,21 @@ class PipelineConfig:
             )
         if self.tier not in TIERS:
             raise ValueError(f"unknown tier {self.tier!r}")
+        if self.tier == "lsh" and self.hubness in ("mp_empiric", "dsl"):
+            # these transforms aggregate STRUCTURE from the reverse table
+            # (sparse reverse rows / candidate centroids) with no meaningful
+            # per-pair fallback: under the lsh tier a target with no bucket
+            # collision has an empty reverse list and its forward pairs
+            # would be silently dropped (fewer than k neighbors, no error).
+            # The other transforms degrade gracefully via left-join
+            # fallbacks; these two must refuse.
+            raise ValueError(
+                f"hubness={self.hubness!r} requires a complete reverse"
+                " candidate table and cannot run on tier='lsh' (empty"
+                " reverse candidate lists would silently drop forward"
+                " pairs); use tier='expr'/'pandas'/'blocked', or a"
+                " fallback-capable transform (csls/ls/nicdm/mp_normal)."
+            )
         if self.hubness == "dsl" and self.metric not in (
             "euclidean",
             "minkowski",

@@ -71,6 +71,13 @@ def test_validation_errors(spark):
         PipelineConfig(n_candidates=5.0)
     with pytest.raises(ValueError, match="DisSimLocal"):
         PipelineConfig(hubness="dsl", metric="cosine")
+    # lsh-tier reverse lists can be EMPTY per target; mp_empiric/dsl have
+    # no per-pair fallback and must refuse instead of silently dropping
+    # forward pairs
+    with pytest.raises(ValueError, match="reverse"):
+        PipelineConfig(hubness="mp_empiric", tier="lsh")
+    with pytest.raises(ValueError, match="reverse"):
+        PipelineConfig(hubness="dsl", tier="lsh")
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "sqeuclidean", "cosine"])

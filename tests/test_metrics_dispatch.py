@@ -123,3 +123,16 @@ def test_atkinson_eps1_no_zeros(spark):
     occ = O.k_occurrence(nn, 4, 2)
     assert (occ > 0).all()
     assert got == pytest.approx(O.atkinson_index(occ, eps=1.0), rel=1e-9)
+
+
+def test_hubness_score_k_clamp_warns(spark, nn_small):
+    """k beyond the neighbor-table width clamps with a warning
+    (estimation.py:277-281) and equals the k=width result."""
+    df = nn_long(spark, nn_small)
+    with pytest.warns(UserWarning, match="clamping k"):
+        got = A.hubness_score(df, 100, 100, k=20, return_value="robinhood")
+    exp = A.hubness_score(df, 100, 100, k=10, return_value="robinhood",
+                          n_cols=10)
+    assert got.first()["robinhood"] == pytest.approx(
+        exp.first()["robinhood"], rel=1e-12
+    )

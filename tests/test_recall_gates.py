@@ -81,3 +81,22 @@ def test_neardup_auto_tier_small_input_is_exact(spark):
     auto = D.embedding_neardup_pairs(emb, max_cos_dist=0.5)
     exact = D.embedding_neardup_pairs(emb, max_cos_dist=0.5, approx=False)
     assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_neardup_auto_tier_large_input_warns(spark, monkeypatch):
+    """Auto mode past the exact-tier cap switches to LSH with a warning,
+    and an n_rows hint skips the eager count() job."""
+    import warnings as W
+
+    monkeypatch.setattr(D, "EXACT_NEARDUP_MAX_ROWS", 30)
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    with pytest.warns(UserWarning, match="LSH tier"):
+        D.embedding_neardup_pairs(emb, max_cos_dist=0.5)
+    # hint path: no count() (plan builds even on an unresolvable-count
+    # stand-in) and tier decided from the hint alone
+    with W.catch_warnings():
+        W.simplefilter("error")
+        df = D.embedding_neardup_pairs(emb, max_cos_dist=0.5, n_rows=10)
+    assert "cos_dist" in df.columns  # exact tier, built lazily

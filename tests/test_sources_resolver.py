@@ -109,3 +109,19 @@ def test_job_entrypoint(spark, tmp_path):
     assert rc == 0
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 200
+
+
+def test_dense_row_number_null_order_values(spark):
+    """NULL order values are kept (bucket -1, sorted first) — matching
+    Window.orderBy's asc-nulls-first — instead of being dropped by the
+    bucket join."""
+    from kiez_spark.functions.ranking import dense_row_number
+
+    rows = [(None,), (3,), (1,), (None,), (2,)]
+    df = spark.createDataFrame(rows, "v int")
+    out = dense_row_number(df, "v", out_col="rn").collect()
+    assert len(out) == 5  # nothing dropped
+    by_v = {r.v: r.rn for r in out if r.v is not None}
+    null_rns = sorted(r.rn for r in out if r.v is None)
+    assert null_rns == [0, 1]  # nulls first
+    assert (by_v[1], by_v[2], by_v[3]) == (2, 3, 4)

@@ -134,6 +134,23 @@ def main() -> int:
         f"openea split must not single-partition the member table: {sp5}"
     )
 
+    # 5b. the REGISTERED openea_split query (the one the correctness gate
+    #     certifies) must run the same scalable plan — the round-2 verdict
+    #     flagged a registry query that bypassed the library operator.
+    from kiez_spark.driver_queries import q_openea_split
+
+    p5b = plan_of(q_openea_split(spark, SF_DIR))
+    ok &= check(
+        "registered openea_split: bucket-partitioned window",
+        p5b,
+        ["hashpartitioning(_bkt"],
+        dump,
+    )
+    sp5b = len(_re.findall(r"Exchange SinglePartition", p5b))
+    assert sp5b <= 1, (
+        f"registered openea_split must not single-partition the split: {sp5b}"
+    )
+
     # 6. gini: the sorted-rank sum runs over the k-occurrence VALUE
     #    histogram (grouped shuffle), never a global row_number over the
     #    entity table. SinglePartition exchanges remain only above
