@@ -2,12 +2,21 @@
 
 - ``cosine_topk``: brute-force exact baseline (thin wrapper over the kNN
   tiers, embeddings-table schema).
-- ``ivf_topk``:    the scale path — IVF-style inverted file: deterministic
-  coarse centroids (hash-sampled rows), cells = argmin-centroid
+- ``ivf_topk``:    the scale path — IVF-style inverted file: coarse
+  centroids TRAINED with a few seeded k-means iterations over a bounded
+  deterministic sample (the reference's faiss IVF tier trains its coarse
+  quantizer the same way, faiss.py:133-158), cells = argmin-centroid
   assignment, queries probe their ``nprobe`` closest cells, exact rerank
   within probed cells via the blocked kernel. Candidate work drops from
   O(n*m) to O(n*m*nprobe/n_cells) at recall set by nprobe — the same
   speed/recall dial as the reference's faiss IVF tier (faiss.py:87-93).
+
+Scale notes: training touches only ``min(n, n_cells*sample_per_cell)``
+rows (TakeOrderedAndProject by hash — no full sort); each Lloyd round is
+one broadcast-NLJ assignment over the sample plus a bounded
+collect_list fold per cell; per-round ``localCheckpoint`` truncates the
+iterative lineage. The full-table assignment/probe pass is ONE broadcast
+join (assignment = rank-1 row of the probe table, not a second pass).
 """
 
 from __future__ import annotations
@@ -36,6 +45,67 @@ def cosine_topk(
     )
 
 
+def _mean_vec(vs_col):
+    """Element-wise mean of an array-of-vectors column (zip_with fold —
+    no (row, dim) explode; the dis_sim_local centroid pattern)."""
+    zero = F.array_repeat(F.lit(0.0), F.size(F.element_at(vs_col, 1)))
+    return F.transform(
+        F.aggregate(vs_col, zero, lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b)),
+        lambda s: s / F.size(vs_col),
+    )
+
+
+def train_centroids(
+    base: DataFrame,
+    n_cells: int,
+    metric: str = "cosine",
+    n_iter: int = 3,
+    sample_per_cell: int = 256,
+) -> DataFrame:
+    """(cell_id, cvec): coarse IVF centroids via seeded sampled k-means.
+
+    Init: the ``n_cells`` rows with smallest xxhash64(id) — deterministic
+    pseudo-random (seed folded into the hash input). Lloyd rounds run on
+    a bounded deterministic sample (smallest xxhash64(id+1), capped at
+    n_cells*sample_per_cell rows), mirroring faiss's train-on-sample IVF
+    quantizer (faiss.py:133-158). Empty cells keep their previous
+    centroid. cell_id = the id of the init row (stable across rounds).
+    """
+    init = (
+        base.withColumn("h", F.xxhash64("id"))
+        .orderBy("h")
+        .limit(n_cells)
+        .select(F.col("id").alias("cell_id"), F.col("vec").alias("cvec"))
+    )
+    if n_iter <= 0:
+        return init
+    sample = (
+        base.withColumn("h", F.xxhash64(F.col("id") + 1))
+        .orderBy("h")
+        .limit(n_cells * sample_per_cell)
+        .select("id", "vec")
+        .localCheckpoint()
+    )
+    cent = init.localCheckpoint()
+    for _ in range(n_iter):
+        cdf = cent.select(F.col("cell_id").alias("id"), F.col("cvec").alias("vec"))
+        assign = K.knn_join_expr(
+            sample, cdf, k=1, metric=metric, exclude_self=False
+        ).select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"))
+        means = (
+            sample.join(assign, "id")
+            .groupBy("cell")
+            .agg(F.collect_list("vec").alias("vs"))
+            .select(F.col("cell").alias("cell_id"), _mean_vec(F.col("vs")).alias("nvec"))
+        )
+        cent = (
+            cent.join(means, "cell_id", "left")
+            .select("cell_id", F.coalesce("nvec", "cvec").alias("cvec"))
+            .localCheckpoint()
+        )
+    return cent
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,
@@ -44,34 +114,26 @@ def ivf_topk(
     metric: str = "cosine",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 3,
 ) -> DataFrame:
-    """Approximate self top-k via an inverted-file index.
-
-    Centroids: the ``n_cells`` rows with smallest xxhash64(id) — a
-    deterministic pseudo-random sample (no kmeans dependency; at real
-    scale swap in sampled kmeans, the plumbing is identical).
-    """
+    """Approximate self top-k via an inverted-file index with trained
+    coarse centroids (``train_iters=0`` falls back to the hash-sampled
+    init — the round-1/2 behavior)."""
     base = emb.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
-    centroids = (
-        base.withColumn("h", F.xxhash64("id"))
-        .orderBy("h")
-        .limit(n_cells)
-        .select(F.col("id").alias("cell_id"), F.col("vec").alias("cvec"))
-    )
+    centroids = train_centroids(base, n_cells, metric, n_iter=train_iters)
     cent = centroids.select(
         F.col("cell_id").alias("id"), F.col("cvec").alias("vec")
     )
-    # assignment: each row's single nearest centroid (k=1)
-    assign = K.knn_join_expr(
-        base, cent, k=1, metric=metric, exclude_self=False
-    ).select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"))
-    # probing: each query's nprobe nearest centroids
-    probes = K.knn_join_expr(
+    # ONE pass against the (tiny, broadcast) centroid table yields both
+    # the probe list (rank <= nprobe) and the cell assignment (rank 1)
+    probes_all = K.knn_join_expr(
         base, cent, k=nprobe, metric=metric, exclude_self=False
-    ).select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"))
+    ).select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"), "rank")
+    probes = probes_all.select("id", "cell")
+    assign = probes_all.filter(F.col("rank") == 1).select("id", "cell")
 
     q = base.join(probes, "id").select("id", "vec", F.col("cell").alias("block"))
     x = base.join(assign, "id").select("id", "vec", F.col("cell").alias("block"))

@@ -47,7 +47,28 @@ def test_ivf_recall_floor(spark, clustered_df):
         exact.select("query_id", "cand_id")
     )
     recall = hit.count() / exact.count()
-    assert recall >= 0.7, f"IVF recall regressed: {recall:.3f}"
+    assert recall >= 0.85, f"IVF recall regressed: {recall:.3f}"
+
+
+def test_ivf_trained_beats_or_matches_untrained(spark, clustered_df):
+    """k-means training must not lose recall vs the hash-sampled init
+    (and on this clustered fixture it should reach near-1)."""
+    emb = clustered_df.select(F.col("id").alias("vec_id"),
+                              F.col("vec").alias("embedding"))
+    exact = SIM.cosine_topk(emb, k=5)
+    total = exact.count()
+
+    def recall_of(approx):
+        hit = approx.select("query_id", "cand_id").intersect(
+            exact.select("query_id", "cand_id")
+        )
+        return hit.count() / total
+
+    r_untrained = recall_of(SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4,
+                                         train_iters=0))
+    r_trained = recall_of(SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4))
+    assert r_trained >= r_untrained - 0.02, (r_trained, r_untrained)
+    assert r_trained >= 0.85
 
 
 def test_embedding_neardup_approx_recall(spark):
