@@ -1081,6 +1081,98 @@ def q_mp_empiric(spark, sf_dir):
     return _hubness_query("mp_empiric")(spark, sf_dir)
 
 
+# ------------------------------------------------------------- streaming
+
+
+def _stream_batches_to_memory(spark, schema: str, batches, build):
+    """Deterministic micro-batch harness: write each batch as one parquet
+    file (mtime-ordered, maxFilesPerTrigger=1 -> one micro-batch each),
+    run ``build(readStream)`` into a memory sink with an availableNow
+    trigger, return the sink table. The input is a REAL file-source
+    stream, so state transitions across micro-batches are exercised."""
+    import tempfile
+    import time
+    import uuid
+
+    d = tempfile.mkdtemp(prefix="kiez_stream_in_")
+    ck = tempfile.mkdtemp(prefix="kiez_stream_ck_")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(d)
+        if i < len(batches) - 1:
+            time.sleep(1.1)  # distinct file mtimes -> stable batch order
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    qname = "stream_sink_" + uuid.uuid4().hex[:12]
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(qname)
+
+
+def q_dedup_stream(spark, sf_dir):
+    """Streaming exact dedup across micro-batches: batch 2 replays batch 1
+    under new ids; every replayed row must be dropped by the sha state, so
+    the surviving sha set equals the batch-1 sha set (SQL-checkable)."""
+    from kiez_spark.streaming import dedup_stream as SD
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") < 100
+    )
+    replay = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    tbl = _stream_batches_to_memory(
+        spark, "doc_id bigint, text string", [docs, replay],
+        lambda s: SD.dedup_stream(s),
+    )
+    return tbl.select("sha")
+
+
+SQL_DEDUP_STREAM = """
+SELECT sha256(text) AS sha FROM documents WHERE doc_id < 100
+"""
+
+
+def q_online_neardup_flags(spark, sf_dir):
+    """Stateful streaming near-dup flags across micro-batches: batch 2 =
+    one-token mutations of batch 1 (ids + 100000). Band-key state from
+    batch 1 flags the colliders in batch 2. Batch order == id order, so
+    first_id == min(doc_id) per band group — SQL-expressible: the oracle
+    groups on the band's minhash-value tuple exactly like the
+    minhash_lsh_pairs oracle does."""
+    from kiez_spark.streaming import stateful as ST
+
+    docs2 = _docs2(spark, sf_dir).filter(
+        (F.col("doc_id") < 100)
+        | ((F.col("doc_id") >= 100000) & (F.col("doc_id") < 100100))
+    )
+    b1 = docs2.filter(F.col("doc_id") < 100000)
+    b2 = docs2.filter(F.col("doc_id") >= 100000)
+    tbl = _stream_batches_to_memory(
+        spark, "doc_id bigint, text string", [b1, b2],
+        ST.online_neardup_flags,
+    )
+    return tbl.select("doc_id", "first_id").distinct()
+
+
+SQL_ONLINE_NEARDUP_FLAGS = f"""
+WITH {_SIGS2_SQL.replace("FROM docs2", "FROM docs2 WHERE doc_id % 100000 < 100")},
+grp AS (
+  SELECT band, band_key, min(doc_id) AS first_id
+  FROM bands GROUP BY band, band_key
+)
+SELECT DISTINCT b.doc_id, g.first_id
+FROM bands b JOIN grp g ON b.band = g.band AND b.band_key = g.band_key
+WHERE b.doc_id > g.first_id
+"""
+
+
 # ----------------------------------------------- Spark-only (rows-only gate)
 
 
@@ -1174,6 +1266,8 @@ QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
+    "online_neardup_flags": (q_online_neardup_flags, SQL_ONLINE_NEARDUP_FLAGS),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
     "lsh_recall_report": (q_lsh_recall_report, None),
     "ivf_recall_report": (q_ivf_recall_report, None),
