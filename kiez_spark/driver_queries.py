@@ -1214,6 +1214,24 @@ def q_linkage_f1_lsh(spark, sf_dir):
     ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
 
 
+def q_linkage_f1_lsh_scale(spark, sf_dir):
+    """North-rule F1 gate at BENCH scale: n=20000 (the sf0.1 embeddings
+    row count), LSH blocking tier — realistic blocking density, not the
+    micro fixture. The >=0.99 assertion lives in
+    tests/test_synth_lsh_linkage.py::test_linkage_f1_lsh_at_bench_scale,
+    which drives this same function."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import link_files
+
+    files = synth.repos_files(spark, n=20000)
+    res = link_files(spark, files, hubness="none", tier="lsh", max_dist=12.0)
+    return E.pairwise_f1(
+        E.clusters_to_pairs(res.clusters),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
+
+
 def q_linkage_f1(spark, sf_dir):
     """Self-contained linkage quality gate: synthetic repos_files with
     planted gold clusters -> full pipeline -> pairwise F1 row."""
@@ -1275,4 +1293,5 @@ QUERIES = {
     "frame_sample": (q_frame_sample, None),
     "linkage_f1": (q_linkage_f1, None),
     "linkage_f1_lsh": (q_linkage_f1_lsh, None),
+    "linkage_f1_lsh_scale": (q_linkage_f1_lsh_scale, None),
 }

@@ -109,6 +109,17 @@ def test_linkage_f1_lsh_tier_at_scale(spark):
     assert row.f1 >= 0.99, f"LSH-tier pairwise F1 {row.f1} < 0.99"
 
 
+def test_linkage_f1_lsh_at_bench_scale(spark):
+    """North-rule bar at realistic blocking density: n=20000 (the sf0.1
+    embeddings row count) through the LSH tier — drives the registered
+    linkage_f1_lsh_scale query so the pytest gate and the driver query
+    certify the identical code path. ~50s at 8 cores."""
+    from kiez_spark.driver_queries import q_linkage_f1_lsh_scale
+
+    row = q_linkage_f1_lsh_scale(spark, "").first()
+    assert row.f1 >= 0.99, f"bench-scale LSH-tier F1 {row.f1} < 0.99"
+
+
 def test_checkpoint_resume(spark, files, tmp_path):
     d = str(tmp_path / "ckpt")
     res1 = link_files(spark, files, max_dist=12.0, checkpoint_dir=d)
