@@ -243,56 +243,25 @@ def main():
             f" {t_hi:.1f}s, efficiency {eff:.2f}",
             file=sys.stderr,
         )
-        # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
-        # interleaved-min like the primary block. 16 python workers plus
-        # the driver JVM's task/Arrow threads push aggregate busy vCPUs
-        # into this VM's measured hypervisor-throttle zone (~16-20), so
-        # this pair honestly shows where the SANDBOX (not the engine)
-        # stops scaling — the kernel-only control below is the same
-        # worker count without the JVM beside it.
-        mid_lo = int(os.environ.get("SPARK_GRAFT_SCALE_MID_LO", "4"))
-        mid_hi = int(os.environ.get("SPARK_GRAFT_SCALE_MID_HI", "16"))
-        mid_pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_MID_PAIRS", "2"))
-        m_lo_walls, m_hi_walls = [], []
-        for i in range(max(1, mid_pairs_n)):
-            t_mlo, _ = timed_flagship(mid_lo)
-            t_mhi, _ = timed_flagship(mid_hi)
-            m_lo_walls.append(round(t_mlo, 3))
-            m_hi_walls.append(round(t_mhi, 3))
-            print(
-                f"  mid scaling pair {i}: local[{mid_lo}] {t_mlo:.1f}s ->"
-                f" local[{mid_hi}] {t_mhi:.1f}s"
-                f" (eff {(t_mlo/t_mhi)/(mid_hi/mid_lo):.2f})",
-                file=sys.stderr,
-            )
-        t_mlo, t_mhi = min(m_lo_walls), min(m_hi_walls)
-        m_eff = (t_mlo / t_mhi) / (mid_hi / mid_lo)
-        scaling["mid_pair"] = {
-            "cores_lo": mid_lo,
-            "cores_hi": mid_hi,
-            "wall_lo_sec": t_mlo,
-            "wall_hi_sec": t_mhi,
-            "walls_lo_sec": m_lo_walls,
-            "walls_hi_sec": m_hi_walls,
-            "efficiency": round(m_eff, 3),
-        }
-        print(
-            f"  mid scaling: local[{mid_lo}] {t_mlo:.1f}s ->"
-            f" local[{mid_hi}] {t_mhi:.1f}s, efficiency {m_eff:.2f}",
-            file=sys.stderr,
-        )
         # supplementary: same kernel, same input, no JVM co-scheduling —
         # run at 4 -> 16 procs (the harder pair: 16 workers is where DRAM
-        # contention would show if the blocking scheme regressed)
+        # contention would show if the blocking scheme regressed). Same
+        # interleaved-min protocol as the Spark pairs: a single-shot pair
+        # was observed to swing 0.78-0.96 with host weather alone.
         k_lo_procs, k_hi_procs = 4, 16
-        k_lo = timed_kernel(k_lo_procs)
-        k_hi = timed_kernel(k_hi_procs)
+        k_lo_walls, k_hi_walls = [], []
+        for _ in range(2):
+            k_lo_walls.append(timed_kernel(k_lo_procs))
+            k_hi_walls.append(timed_kernel(k_hi_procs))
+        k_lo, k_hi = min(k_lo_walls), min(k_hi_walls)
         k_eff = (k_lo / k_hi) / (k_hi_procs / k_lo_procs)
         scaling["kernel_only"] = {
             "procs_lo": k_lo_procs,
             "procs_hi": k_hi_procs,
             "wall_lo_sec": round(k_lo, 3),
             "wall_hi_sec": round(k_hi, 3),
+            "walls_lo_sec": [round(w, 3) for w in k_lo_walls],
+            "walls_hi_sec": [round(w, 3) for w in k_hi_walls],
             "efficiency": round(k_eff, 3),
         }
         print(
@@ -300,7 +269,10 @@ def main():
             f" {k_lo:.1f}s -> {k_hi:.1f}s, efficiency {k_eff:.2f}",
             file=sys.stderr,
         )
-        time.sleep(5)
+        # let the hypervisor's usage accounting recover before timing the
+        # suite — the 16-proc kernel control saturates past the throttle
+        # threshold and its tail otherwise bleeds into the first queries
+        time.sleep(15)
 
     results = {}
     spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
@@ -314,6 +286,49 @@ def main():
     results = run_queries(spark, BENCH_QUERIES, SF_DIR)
     total = round(time.time() - t_all, 3)
     spark.stop()
+
+    # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
+    # interleaved-min like the primary block. Runs LAST: 16 python
+    # workers plus the driver JVM's task/Arrow threads push aggregate
+    # busy vCPUs into this VM's measured hypervisor-throttle zone
+    # (~16-20) and the throttle TAIL outlives the job — running it
+    # before the suite was measured to collapse suite queries up to 8x.
+    # This pair documents where the SANDBOX (not the engine) stops
+    # scaling; the kernel_only control is the same worker count without
+    # the JVM beside it. Disable with SPARK_GRAFT_SCALE_MID_PAIRS=0.
+    if scaling is not None:
+        mid_lo = int(os.environ.get("SPARK_GRAFT_SCALE_MID_LO", "4"))
+        mid_hi = int(os.environ.get("SPARK_GRAFT_SCALE_MID_HI", "16"))
+        mid_pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_MID_PAIRS", "2"))
+        if mid_pairs_n > 0:
+            m_lo_walls, m_hi_walls = [], []
+            for i in range(mid_pairs_n):
+                t_mlo, _ = timed_flagship(mid_lo)
+                t_mhi, _ = timed_flagship(mid_hi)
+                m_lo_walls.append(round(t_mlo, 3))
+                m_hi_walls.append(round(t_mhi, 3))
+                print(
+                    f"  mid scaling pair {i}: local[{mid_lo}] {t_mlo:.1f}s ->"
+                    f" local[{mid_hi}] {t_mhi:.1f}s"
+                    f" (eff {(t_mlo/t_mhi)/(mid_hi/mid_lo):.2f})",
+                    file=sys.stderr,
+                )
+            t_mlo, t_mhi = min(m_lo_walls), min(m_hi_walls)
+            m_eff = (t_mlo / t_mhi) / (mid_hi / mid_lo)
+            scaling["mid_pair"] = {
+                "cores_lo": mid_lo,
+                "cores_hi": mid_hi,
+                "wall_lo_sec": t_mlo,
+                "wall_hi_sec": t_mhi,
+                "walls_lo_sec": m_lo_walls,
+                "walls_hi_sec": m_hi_walls,
+                "efficiency": round(m_eff, 3),
+            }
+            print(
+                f"  mid scaling: local[{mid_lo}] {t_mlo:.1f}s ->"
+                f" local[{mid_hi}] {t_mhi:.1f}s, efficiency {m_eff:.2f}",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "headline query suite wall time (sf0.1, local[%d])" % CPUS,

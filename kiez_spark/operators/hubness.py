@@ -27,7 +27,9 @@ LEFT join with the query-side statistic as fallback — forward pairs are
 never silently dropped and the exact tiers (where every target has a full
 reverse list) are bit-identical. ``dsl``/``mp_empiric`` aggregate
 structure (centroids / sparse reverse rows) has no meaningful fallback and
-requires every target to appear as a reverse query (exact tiers only).
+requires every target to appear as a reverse query — exact tiers only,
+ENFORCED in PipelineConfig.__post_init__ (tier='lsh' with these methods
+raises instead of silently losing rows).
 """
 
 from __future__ import annotations
