@@ -75,6 +75,11 @@ def connected_components(
     pairs: edge list; nodes: optional (id) universe so isolated entities
     get singleton clusters.
     """
+    # initial checkpoint is EAGER: the next round's stars consume `edges`
+    # three times (sym union + join), so the upstream pair plan must be
+    # cut off before that job runs. Per-round checkpoints are LAZY — the
+    # checksum action right after materializes them, folding what were
+    # two jobs per round (eager checkpoint, then checksum) into one.
     edges = (
         pairs.select(
             F.col(pair_cols[0]).cast("bigint").alias("u"),
@@ -84,9 +89,9 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev = _checksum(edges)
+    prev = None  # first round always runs; no checksum job on the input
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         cur = _checksum(edges)
         if cur == prev:
             break
