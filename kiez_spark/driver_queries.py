@@ -1247,6 +1247,173 @@ def q_linkage_f1(spark, sf_dir):
     ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
 
 
+def q_dedup_decisions(spark, sf_dir):
+    """Survivor election over the minhash near-dup graph of docs2:
+    per-component keeper = highest quality_features score (ties -> min
+    id) — the decision table a training-data filter joins against."""
+    docs2 = _docs2(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2, n_hashes=16, bands=4, threshold=0.5)
+    nodes = docs2.select(F.col("doc_id").alias("id"))
+    qual = TA.quality_features(docs2).select("doc_id", "quality")
+    return CC.survivor_decisions(pairs, nodes, quality=qual).select(
+        "id", "component", "keep_id", "is_survivor"
+    )
+
+
+SQL_DEDUP_DECISIONS = f"""
+WITH RECURSIVE {_SIGS2_SQL},
+edges AS (SELECT src_id AS u, tgt_id AS v FROM jac WHERE jaccard >= 0.5),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
+  FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+),
+qual AS (
+  SELECT doc_id,
+         least(1.0,
+           least(len({_TOKENS_SQL.format(col='text')})::DOUBLE / 20.0, 1.0) * 0.4
+           + (CASE WHEN length(text) > 0 THEN
+                length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+                / length(text)::DOUBLE ELSE 0.0 END) * 0.3
+           + (CASE WHEN len({_TOKENS_SQL.format(col='text')}) > 0 THEN
+                len(list_distinct({_TOKENS_SQL.format(col='text')}))::DOUBLE
+                / len({_TOKENS_SQL.format(col='text')})::DOUBLE
+              ELSE 0.0 END) * 0.3) AS q
+  FROM docs2
+),
+scored AS (
+  SELECT a.id, a.component, coalesce(qual.q, 0.0) AS q
+  FROM assign a LEFT JOIN qual ON a.id = qual.doc_id
+),
+winners AS (
+  SELECT component, id AS keep_id
+  FROM (SELECT component, id,
+               row_number() OVER (PARTITION BY component
+                                  ORDER BY q DESC, id) AS r
+        FROM scored)
+  WHERE r = 1
+)
+SELECT s.id, s.component, w.keep_id, s.id = w.keep_id AS is_survivor
+FROM scored s JOIN winners w ON s.component = w.component
+"""
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """Daily-increment dedup: a mutated new batch (every doc, first token
+    -> 'zzz', shifted ids) checked against the existing corpus via the
+    asymmetric banded-signature join — corpus x corpus never pairs."""
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    new = corpus.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+    )
+    pairs = D.minhash_lsh_join(new, corpus, n_hashes=16, bands=4, threshold=0.5)
+    return pairs.select(
+        "new_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_INCREMENTAL_NEARDUP = f"""
+WITH newb AS (
+  SELECT doc_id + 500000 AS doc_id,
+         regexp_replace(text, '^\\S+', 'zzz') AS text
+  FROM documents
+),
+sh_new AS (
+  SELECT doc_id,
+         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+  FROM newb
+),
+sh_corp AS (
+  SELECT doc_id,
+         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+  FROM documents
+),
+sigv_new AS (
+  SELECT sh_new.doc_id, hp.h_idx,
+         coalesce(list_min(list_transform(sh_new.s,
+           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           1000000007) AS h_val
+  FROM sh_new, {_minhash_sql_values(16)}
+),
+sigv_corp AS (
+  SELECT sh_corp.doc_id, hp.h_idx,
+         coalesce(list_min(list_transform(sh_corp.s,
+           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           1000000007) AS h_val
+  FROM sh_corp, {_minhash_sql_values(16)}
+),
+bands_new AS (
+  SELECT doc_id, h_idx // 4 AS band,
+         string_agg(h_val::VARCHAR, '_' ORDER BY h_idx) AS band_key
+  FROM sigv_new GROUP BY doc_id, h_idx // 4
+),
+bands_corp AS (
+  SELECT doc_id, h_idx // 4 AS band,
+         string_agg(h_val::VARCHAR, '_' ORDER BY h_idx) AS band_key
+  FROM sigv_corp GROUP BY doc_id, h_idx // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+  FROM bands_new a JOIN bands_corp b
+    ON a.band = b.band AND a.band_key = b.band_key
+)
+SELECT c.new_id, c.corpus_id,
+       round(CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+             THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+                  / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+             ELSE 0.0 END, 6) AS jaccard
+FROM cand c
+JOIN sh_new sa ON c.new_id = sa.doc_id
+JOIN sh_corp sb ON c.corpus_id = sb.doc_id
+WHERE CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
+      THEN len(list_intersect(sa.s, sb.s))::DOUBLE
+           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))
+      ELSE 0.0 END >= 0.5
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    return TA.tfidf_top_terms(_docs(spark, sf_dir), top_m=3).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df_t",
+        F.round("tfidf", 6).alias("tfidf"),
+        F.col("term_rank").cast("int").alias("term_rank"),
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKENS_SQL.format(col='text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dft.df_t + 1)::DOUBLE) + 1.0)
+           AS tfidf,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf * (ln((n.n_docs + 1)::DOUBLE
+                              / (dft.df_t + 1)::DOUBLE) + 1.0) DESC,
+                            tf.term) AS term_rank
+  FROM tf JOIN dft ON tf.term = dft.term, n
+)
+SELECT doc_id, term, tf, df_t, round(tfidf, 6) AS tfidf,
+       term_rank::INT AS term_rank
+FROM scored WHERE term_rank <= 3
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1280,6 +1447,9 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "cc_clusters": (q_cc_clusters, SQL_CC_CLUSTERS),
+    "dedup_decisions": (q_dedup_decisions, SQL_DEDUP_DECISIONS),
+    "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),

@@ -109,3 +109,57 @@ def connected_components(
             .select("id", F.coalesce("component", F.col("id")).alias("component"))
         )
     return assign
+
+
+def survivor_decisions(
+    pairs: DataFrame,
+    nodes: DataFrame | None = None,
+    pair_cols: tuple[str, str] = ("src_id", "tgt_id"),
+    quality: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Per-document dedup decision table (id, component, keep_id,
+    is_survivor): cluster the near-dup pair graph, then elect one
+    survivor per component — the row every downstream training-data
+    filter joins against.
+
+    ``quality=None``: survivor = the component's min id (which IS the
+    component label our connected_components emits — no extra shuffle).
+    ``quality`` = (id, quality double): survivor = highest quality in
+    the component, ties broken toward the smaller id — the "keep the
+    best copy" policy. One rank window partitioned by component (rank
+    pushdown applies: only rank 1 survives the WindowGroupLimit) plus
+    one shuffle join of the per-component winner back onto members.
+    """
+    assign = connected_components(pairs, nodes, pair_cols, max_iter)
+    if quality is None:
+        return assign.select(
+            "id",
+            "component",
+            F.col("component").alias("keep_id"),
+            (F.col("id") == F.col("component")).alias("is_survivor"),
+        )
+    q = quality.select(
+        F.col(quality.columns[0]).cast("bigint").alias("id"),
+        F.col(quality.columns[1]).cast("double").alias("_q"),
+    )
+    from pyspark.sql import Window
+
+    scored = assign.join(q, "id", "left").select(
+        "id", "component", F.coalesce("_q", F.lit(0.0)).alias("_q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("_q").desc(), F.col("id"))
+    winners = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("component", F.col("id").alias("keep_id"))
+    )
+    return (
+        scored.join(winners, "component")
+        .select(
+            "id",
+            "component",
+            "keep_id",
+            (F.col("id") == F.col("keep_id")).alias("is_survivor"),
+        )
+    )

@@ -97,7 +97,6 @@ def minhash_lsh_pairs(
     verification: banding surfaces candidates (any band equal), the
     shingle-set join verifies. src_id < tgt_id."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     # the shingled table feeds the signatures AND both verification sides
     # — persist so shingling (regex + slice + concat per token window)
     # runs once, not three times. Lifetime: the cache entry must outlive
@@ -111,25 +110,7 @@ def minhash_lsh_pairs(
         *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
     )
     sigs = shingled.withColumn("_hmod", hmod).select("doc_id", sig.alias("sig"))
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            "_",
-                            *[
-                                F.col("sig")[b * rows_per_band + r].cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_key"),
-    )
+    banded = _banded_keys(sigs, n_hashes, bands)
     cand = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "band_key"])
@@ -149,6 +130,99 @@ def minhash_lsh_pairs(
         .select(
             "src_id",
             "tgt_id",
+            F.when(union > 0, inter.cast("double") / union)
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _banded_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, band, band_key) — one row per band of the signature."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+
+
+def minhash_lsh_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Asymmetric near-dup join: (new_id, corpus_id, jaccard >= threshold).
+
+    The daily-increment dedup pattern — a new document batch is checked
+    against an existing corpus WITHOUT re-pairing the corpus with itself:
+    candidates are banded-signature equi-join hits between the two sides
+    only (corpus x corpus never materializes), then exact-Jaccard
+    verified. At scale the corpus side's banded keys are the persisted
+    signature index (operators/lsh.py stores signatures the same way);
+    the corpus shuffle is the index build, paid once per corpus version,
+    while each increment shuffles only its own batch to the band keys.
+    Ids may overlap between sides (separate namespaces) — pairs are NOT
+    id-ordered, and a doc appearing verbatim on both sides joins to
+    itself (jaccard 1.0); filter on ids upstream if that is unwanted.
+    """
+    assert n_hashes % bands == 0
+    params = T.minhash_params(n_hashes, seed)
+    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
+    sig = F.array(
+        *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
+    )
+
+    def side(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
+        sigs = shingled.withColumn("_hmod", hmod).select(
+            "doc_id", sig.alias("sig")
+        )
+        return shingled, _banded_keys(sigs, n_hashes, bands)
+
+    new_sh, new_banded = side(new_df)
+    corp_sh, corp_banded = side(corpus_df)
+    cand = (
+        new_banded.alias("a")
+        .join(corp_banded.alias("b"), ["band", "band_key"])
+        .select(
+            F.col("a.doc_id").alias("new_id"), F.col("b.doc_id").alias("corpus_id")
+        )
+        .distinct()
+    )
+    a = new_sh.select(F.col("doc_id").alias("new_id"), F.col("sh").alias("sha_"))
+    b = corp_sh.select(
+        F.col("doc_id").alias("corpus_id"), F.col("sh").alias("shb_")
+    )
+    inter = F.size(F.array_intersect(F.col("sha_"), F.col("shb_")))
+    union = F.size(F.col("sha_")) + F.size(F.col("shb_")) - inter
+    return (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .select(
+            "new_id",
+            "corpus_id",
             F.when(union > 0, inter.cast("double") / union)
             .otherwise(F.lit(0.0))
             .alias("jaccard"),

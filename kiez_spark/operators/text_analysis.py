@@ -86,6 +86,51 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_m: int = 3,
+) -> DataFrame:
+    """(doc_id, term, tf, df_t, tfidf, term_rank) — the ``top_m`` highest
+    tf-idf terms per document (keyword extraction / topical fingerprint
+    for corpus curation). Smoothed idf = ln((N + 1) / (df_t + 1)) + 1,
+    score = tf * idf; rank ties break lexicographically on term.
+
+    Scale shape: one explode + two groupBys (term frequency per doc,
+    document frequency per term — both map-side-combinable), N via a
+    1-row broadcast cross join (no driver collect), per-doc rank window
+    with rank<=m pushdown (WindowGroupLimit). No Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    tok = T.tokens(F.col(text_col))
+    terms = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(tok).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_t, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("_n") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= top_m)
+        .select("doc_id", "term", "tf", "df_t", "tfidf", "term_rank")
+    )
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fingerprint) rolling-hash document fingerprint —
     order-sensitive (unlike sha), so permuted token streams differ."""

@@ -149,3 +149,47 @@ def test_similarity_ivf_vs_exact(spark, emb):
         .count()
         == 0
     )
+
+
+def test_minhash_lsh_join_incremental(spark, dup_docs):
+    """Asymmetric new-batch x corpus join: each mutated doc must hit its
+    source, and corpus x corpus pairs must never appear."""
+    docs, _ = dup_docs
+    corpus = docs.select("doc_id", "text")
+    new = corpus.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "qqq").alias("text"),
+    )
+    pairs = D.minhash_lsh_join(new, corpus, threshold=0.5).collect()
+    assert len(pairs) >= corpus.count()  # every mutant finds its source
+    hits = {(r.new_id, r.corpus_id) for r in pairs}
+    n = corpus.count()
+    for cid in [r.doc_id for r in corpus.limit(5).collect()]:
+        assert (cid + 10000, cid) in hits
+    # side namespaces respected: new ids only on the left, corpus on right
+    assert all(r.new_id >= 10000 and r.corpus_id < 10000 for r in pairs)
+    assert all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_tfidf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common common"),
+            (3, "cherry date common"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = TA.tfidf_top_terms(df, top_m=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2, 3}
+    for rows in by_doc.values():
+        assert [r.term_rank for r in sorted(rows, key=lambda r: r.term_rank)] == [1, 2]
+    # doc 1: 'apple' (tf=2, df=1) must outrank the shared 'common'
+    top1 = min(by_doc[1], key=lambda r: r.term_rank)
+    assert top1.term == "apple" and top1.tf == 2 and top1.df_t == 1
+    # 'common' appears in all 3 docs -> lowest idf
+    common = [r for r in out if r.term == "common"]
+    assert all(r.df_t == 3 for r in common)

@@ -92,3 +92,28 @@ def test_clusters_to_pairs(spark):
     )
     pairs = {(r.u, r.v) for r in E.clusters_to_pairs(assign).collect()}
     assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_survivor_decisions_min_id_and_quality(spark):
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src_id bigint, tgt_id bigint"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id bigint")
+    # default policy: survivor = min id (== component label)
+    dec = {r.id: r for r in C.survivor_decisions(pairs, nodes).collect()}
+    assert dec[1].is_survivor and dec[1].keep_id == 1
+    assert not dec[2].is_survivor and dec[2].keep_id == 1
+    assert not dec[3].is_survivor and dec[3].keep_id == 1
+    assert dec[10].is_survivor and not dec[11].is_survivor
+    assert dec[99].is_survivor and dec[99].component == 99  # singleton
+    # quality policy: highest quality wins, ties -> min id
+    qual = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (10, 0.5), (11, 0.5)],
+        "id bigint, quality double",
+    )
+    decq = {r.id: r for r in C.survivor_decisions(pairs, nodes, quality=qual).collect()}
+    assert decq[2].is_survivor and decq[1].keep_id == 2  # 0.9 tie -> min id 2
+    assert decq[10].is_survivor  # 0.5 tie -> min id 10
+    assert decq[99].is_survivor  # missing quality -> 0.0, alone anyway

@@ -169,6 +169,35 @@ def main() -> int:
     )
     assert "row_number" not in p6, "gini must not rank the full entity table"
 
+    # 7. tfidf: the per-doc top-m filter must push into the window
+    #    (WindowGroupLimit) and the 1-row corpus count must broadcast,
+    #    never shuffle the term table against it.
+    from kiez_spark.operators import text_analysis as TA
+
+    p7 = plan_of(TA.tfidf_top_terms(docs, top_m=3))
+    ok &= check(
+        "tfidf: rank pushdown + broadcast N",
+        p7,
+        ["WindowGroupLimit", "BroadcastNestedLoopJoin"],
+        dump,
+    )
+
+    # 8. incremental minhash join: candidates come from an equi-join on
+    #    (band, band_key) — a cross/NLJ of the two sides must never appear.
+    from kiez_spark.operators.dedup import minhash_lsh_join
+
+    new = docs.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    p8 = plan_of(minhash_lsh_join(new, docs, threshold=0.5))
+    ok &= check(
+        "incremental neardup: banded equi-join",
+        p8,
+        ["band_key"],
+        dump,
+    )
+    assert "CartesianProduct" not in p8, (
+        "incremental join must never cross-join the two corpora"
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
