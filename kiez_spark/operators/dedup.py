@@ -162,9 +162,43 @@ def _banded_keys(sigs: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def build_minhash_index(
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(doc_id, sh, sig) — the reusable corpus-side dedup index: distinct
+    shingle sets (the verification side) plus the minhash signature (the
+    banding side). Write it with ``save_minhash_index`` once per corpus
+    version; every increment then joins against the stored table instead
+    of re-shingling the corpus (the S6 index-persistence pattern,
+    operators/lsh.py save_index, applied to the dedup ladder)."""
+    params = T.minhash_params(n_hashes, seed)
+    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
+    sig = F.array(
+        *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
+    )
+    return (
+        _with_shingles(corpus_df, id_col, text_col, shingle_n)
+        .withColumn("_hmod", hmod)
+        .select("doc_id", "sh", sig.alias("sig"))
+    )
+
+
+def save_minhash_index(index_df: DataFrame, path: str) -> None:
+    index_df.write.mode("overwrite").parquet(path)
+
+
+def load_minhash_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def minhash_lsh_join(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 16,
@@ -172,6 +206,7 @@ def minhash_lsh_join(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup join: (new_id, corpus_id, jaccard >= threshold).
 
@@ -186,23 +221,30 @@ def minhash_lsh_join(
     Ids may overlap between sides (separate namespaces) — pairs are NOT
     id-ordered, and a doc appearing verbatim on both sides joins to
     itself (jaccard 1.0); filter on ids upstream if that is unwanted.
+
+    Pass ``corpus_index`` (a ``build_minhash_index`` table, possibly
+    ``load_minhash_index``-ed from parquet) instead of ``corpus_df`` to
+    skip the corpus-side shingling + signature work entirely — the
+    corpus pays its scan once per version, each increment only its own.
+    ``n_hashes``/``shingle_n``/``seed`` must match the index build.
     """
     assert n_hashes % bands == 0
-    params = T.minhash_params(n_hashes, seed)
-    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
-    sig = F.array(
-        *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
+    assert (corpus_df is None) != (corpus_index is None), (
+        "pass exactly one of corpus_df / corpus_index"
     )
 
     def side(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-        shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
-        sigs = shingled.withColumn("_hmod", hmod).select(
-            "doc_id", sig.alias("sig")
-        )
-        return shingled, _banded_keys(sigs, n_hashes, bands)
+        idx = build_minhash_index(
+            df, id_col, text_col, n_hashes, shingle_n, seed
+        ).persist()
+        return idx, _banded_keys(idx, n_hashes, bands)
 
     new_sh, new_banded = side(new_df)
-    corp_sh, corp_banded = side(corpus_df)
+    if corpus_index is not None:
+        corp_sh = corpus_index
+        corp_banded = _banded_keys(corpus_index, n_hashes, bands)
+    else:
+        corp_sh, corp_banded = side(corpus_df)
     cand = (
         new_banded.alias("a")
         .join(corp_banded.alias("b"), ["band", "band_key"])

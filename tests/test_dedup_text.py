@@ -193,3 +193,27 @@ def test_tfidf_top_terms(spark):
     # 'common' appears in all 3 docs -> lowest idf
     common = [r for r in out if r.term == "common"]
     assert all(r.df_t == 3 for r in common)
+
+
+def test_minhash_index_roundtrip(spark, dup_docs, tmp_path_factory):
+    """Joining against a saved corpus index must equal the direct join."""
+    docs, _ = dup_docs
+    corpus = docs.select("doc_id", "text")
+    new = corpus.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "qqq").alias("text"),
+    )
+    path = str(tmp_path_factory.mktemp("mhidx") / "corpus_index")
+    D.save_minhash_index(D.build_minhash_index(corpus), path)
+    idx = D.load_minhash_index(spark, path)
+    direct = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in D.minhash_lsh_join(new, corpus, threshold=0.5).collect()
+    }
+    via_index = {
+        (r.new_id, r.corpus_id, round(r.jaccard, 9))
+        for r in D.minhash_lsh_join(
+            new, corpus_index=idx, threshold=0.5
+        ).collect()
+    }
+    assert direct == via_index and len(direct) > 0
