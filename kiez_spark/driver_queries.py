@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from kiez_spark.functions import text as T
 from kiez_spark.operators import analysis as A
 from kiez_spark.operators import clustering as CC
+from kiez_spark.operators import curation as CUR
 from kiez_spark.operators import dedup as D
 from kiez_spark.operators import evaluate as E
 from kiez_spark.operators import knn as K
@@ -1414,6 +1415,62 @@ FROM scored WHERE term_rank <= 3
 """
 
 
+def q_scrub_text(spark, sf_dir):
+    """Text-cleaning pass over documents seeded with planted URLs/e-mails
+    (every 3rd/5th doc gets one appended — the driver corpus has none)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" see https://example.com/x?q=1"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" mail bob.smith@example.org now"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return CUR.scrub_text(d)
+
+
+SQL_SCRUB_TEXT = """
+WITH seeded AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' see https://example.com/x?q=1' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' mail bob.smith@example.org now' ELSE '' END
+           AS text
+  FROM documents
+),
+step1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, 'https?://\\S+')) AS n_urls,
+         regexp_replace(text, 'https?://\\S+', '<URL>', 'g') AS no_urls
+  FROM seeded
+)
+SELECT doc_id,
+       regexp_replace(no_urls,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+         AS clean_text,
+       n_urls::INT AS n_urls,
+       len(regexp_extract_all(no_urls,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_emails
+FROM step1
+"""
+
+
+def q_sample_by_hash(spark, sf_dir):
+    """Deterministic 20% corpus sample on the stable doc_id hash."""
+    return CUR.sample_by_hash(
+        _docs(spark, sf_dir), rate=0.2, seed=7
+    ).select("doc_id")
+
+
+SQL_SAMPLE_BY_HASH = f"""
+SELECT doc_id FROM documents
+WHERE ({_H_SQL.format(s="doc_id::VARCHAR || '_7'")}) % {1 << 20}
+      < {int(0.2 * (1 << 20))}
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -1450,6 +1507,8 @@ QUERIES = {
     "dedup_decisions": (q_dedup_decisions, SQL_DEDUP_DECISIONS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
+    "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),

@@ -1,0 +1,69 @@
+"""Corpus-curation operators ([ext] training-data set).
+
+Pure column expressions (whole-stage codegen, no shuffle, no Python) with
+exact DuckDB twins in the driver oracle gate:
+
+- scrub_text:     URL / e-mail masking with per-doc hit counts — the
+                  standard pre-training text-cleaning pass.
+- sample_by_hash: deterministic, seedable row sampling on a stable key
+                  hash — reproducible corpus subsets regardless of
+                  partitioning, executor count, or engine (the md5-based
+                  hash is the same cross-engine primitive the minhash
+                  ladder uses, functions/text.py token_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kiez_spark.functions import text as T
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+# hash-sampling resolution: rate is quantized to 1/2^20 buckets
+_SAMPLE_BUCKETS = 1 << 20
+
+
+def scrub_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_urls, n_emails): URLs -> '<URL>', e-mail
+    addresses -> '<EMAIL>' (URLs first, so mailto-ish forms inside URLs
+    count once), with per-doc match counts for curation stats."""
+    c = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_RE), 0))
+    no_urls = F.regexp_replace(c, URL_RE, "<URL>")
+    n_emails = F.size(F.regexp_extract_all(no_urls, F.lit(EMAIL_RE), 0))
+    clean = F.regexp_replace(no_urls, EMAIL_RE, "<EMAIL>")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        clean.alias("clean_text"),
+        n_urls.cast("int").alias("n_urls"),
+        n_emails.cast("int").alias("n_emails"),
+    )
+
+
+def sample_by_hash(
+    df: DataFrame,
+    rate: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep ~``rate`` of rows, chosen by a stable hash of ``key_col``.
+
+    Unlike ``DataFrame.sample`` the decision is a pure function of
+    (key, seed): the same row is kept in every run, on any cluster
+    layout, and the complement (same seed, keep = NOT kept) partitions
+    the corpus exactly — the reproducible train/holdout split a data
+    pipeline needs. The predicate is a plain column expression, so it
+    pushes past projections and into scans where possible.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    cut = int(rate * _SAMPLE_BUCKETS)
+    bucket = T.token_hash(
+        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
+    ) % F.lit(_SAMPLE_BUCKETS)
+    return df.filter(bucket < F.lit(cut))

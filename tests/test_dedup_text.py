@@ -217,3 +217,34 @@ def test_minhash_index_roundtrip(spark, dup_docs, tmp_path_factory):
         ).collect()
     }
     assert direct == via_index and len(direct) > 0
+
+
+def test_curation_ops(spark):
+    from kiez_spark.operators import curation as CUR
+
+    df = spark.createDataFrame(
+        [
+            (1, "go to https://a.io/x and http://b.c/y now"),
+            (2, "mail a.b@c.de or x@y.org"),
+            (3, "plain text only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in CUR.scrub_text(df).collect()}
+    assert out[1].n_urls == 2 and "<URL>" in out[1].clean_text
+    assert "https" not in out[1].clean_text
+    assert out[2].n_emails == 2 and out[2].clean_text.count("<EMAIL>") == 2
+    assert out[3].clean_text == "plain text only"
+    assert out[3].n_urls == 0 and out[3].n_emails == 0
+
+    big = spark.range(5000).select(F.col("id").alias("doc_id"))
+    s1 = CUR.sample_by_hash(big, 0.3, seed=1)
+    s1_again = CUR.sample_by_hash(big.repartition(13), 0.3, seed=1)
+    ids1 = {r.doc_id for r in s1.collect()}
+    assert ids1 == {r.doc_id for r in s1_again.collect()}  # layout-invariant
+    assert 0.25 < len(ids1) / 5000 < 0.35
+    # complement partitions exactly; different seed gives a different set
+    s2 = {r.doc_id for r in CUR.sample_by_hash(big, 0.3, seed=2).collect()}
+    assert s2 != ids1
+    with pytest.raises(ValueError):
+        CUR.sample_by_hash(big, 1.5)
