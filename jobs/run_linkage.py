@@ -52,6 +52,10 @@ def main(argv=None) -> int:
     ap.add_argument("--max-dist", type=float, default=None)
     ap.add_argument("--evaluate-gold", action="store_true",
                     help="with --synthetic: report pairwise F1 vs planted gold")
+    ap.add_argument("--write-decisions", default=None, metavar="PATH",
+                    help="also write the survivor decision table (id, "
+                    "component, keep_id, is_survivor) — keeper = highest "
+                    "quality_features score over content, ties -> min id")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -84,6 +88,17 @@ def main(argv=None) -> int:
         "rows": res.clusters.count(),
         "components": res.clusters.select("component").distinct().count(),
     }
+    if args.write_decisions:
+        from kiez_spark.operators.clustering import decisions_from_assignment
+        from kiez_spark.operators.text_analysis import quality_features
+
+        qual = quality_features(files, id_col="row_id", text_col="content")
+        decisions = decisions_from_assignment(
+            res.clusters.select("id", "component"),
+            quality=qual.select("doc_id", "quality"),
+        )
+        decisions.write.mode("overwrite").parquet(args.write_decisions)
+        report["survivors"] = decisions.filter("is_survivor").count()
     if res.checkpointer:
         report["sha_invariant_ok"] = res.checkpointer.sha_invariant_ok()
     if args.evaluate_gold and args.synthetic:

@@ -132,6 +132,17 @@ def survivor_decisions(
     one shuffle join of the per-component winner back onto members.
     """
     assign = connected_components(pairs, nodes, pair_cols, max_iter)
+    return decisions_from_assignment(assign, quality)
+
+
+def decisions_from_assignment(
+    assign: DataFrame, quality: DataFrame | None = None
+) -> DataFrame:
+    """Survivor election over an existing (id, component) assignment —
+    e.g. the clusters table a prior linkage run already wrote. Same
+    policies as ``survivor_decisions`` (which is this applied to a fresh
+    connected_components pass). Assumes component = min member id, the
+    label connected_components emits."""
     if quality is None:
         return assign.select(
             "id",
