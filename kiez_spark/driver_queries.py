@@ -126,6 +126,17 @@ _TOKENS_SQL = (
 _H_SQL = "(('0x' || substr(md5({s}), 1, 15))::BIGINT)"
 
 
+def _hashed_shingles_sql(tok: str, n: int = 3) -> str:
+    """Distinct 60-bit-hashed shingle set — the exact SQL twin of the
+    Spark-side _with_shingles (operators/dedup.py): same md5-based hash
+    applied before the distinct, so set sizes and intersections agree
+    bit-for-bit even on (astronomically rare) hash collisions."""
+    return (
+        f"list_distinct(list_transform({_shingles_sql(tok, n)},"
+        f" x -> {_H_SQL.format(s='x')}))"
+    )
+
+
 def _shingles_sql(tok: str, n: int = 3) -> str:
     return (
         f"CASE WHEN len({tok}) >= {n} THEN "
@@ -672,13 +683,13 @@ def q_minhash_signatures(spark, sf_dir):
 SQL_MINHASH_SIGNATURES = f"""
 WITH sh AS (
   SELECT doc_id,
-         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+         {_hashed_shingles_sql(_TOKENS_SQL.format(col='text'))} AS s
   FROM documents
 )
 SELECT sh.doc_id, hp.h_idx::INT AS h_idx,
        coalesce(
          list_min(list_transform(sh.s,
-           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           x -> (hp.a * (x % 1000000007) + hp.b) % 1000000007)),
          1000000007) AS h_val
 FROM sh, {_minhash_sql_values(16)}
 """
@@ -688,14 +699,14 @@ _SIGS2_SQL = f"""
 {_DOCS2_SQL},
 sh AS (
   SELECT doc_id,
-         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+         {_hashed_shingles_sql(_TOKENS_SQL.format(col='text'))} AS s
   FROM docs2
 ),
 sigv AS (
   SELECT sh.doc_id, hp.h_idx,
          coalesce(
            list_min(list_transform(sh.s,
-             x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+             x -> (hp.a * (x % 1000000007) + hp.b) % 1000000007)),
            1000000007) AS h_val
   FROM sh, {_minhash_sql_values(16)}
 ),
@@ -745,7 +756,7 @@ SQL_NGRAM_JACCARD_PAIRS = f"""
 WITH {_DOCS2_SQL},
 sh AS (
   SELECT doc_id,
-         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+         {_hashed_shingles_sql(_TOKENS_SQL.format(col='text'))} AS s
   FROM docs2
 )
 SELECT a.doc_id AS src_id, b.doc_id AS tgt_id,
@@ -1328,25 +1339,25 @@ WITH newb AS (
 ),
 sh_new AS (
   SELECT doc_id,
-         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+         {_hashed_shingles_sql(_TOKENS_SQL.format(col='text'))} AS s
   FROM newb
 ),
 sh_corp AS (
   SELECT doc_id,
-         list_distinct({_shingles_sql(_TOKENS_SQL.format(col='text'))}) AS s
+         {_hashed_shingles_sql(_TOKENS_SQL.format(col='text'))} AS s
   FROM documents
 ),
 sigv_new AS (
   SELECT sh_new.doc_id, hp.h_idx,
          coalesce(list_min(list_transform(sh_new.s,
-           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           x -> (hp.a * (x % 1000000007) + hp.b) % 1000000007)),
            1000000007) AS h_val
   FROM sh_new, {_minhash_sql_values(16)}
 ),
 sigv_corp AS (
   SELECT sh_corp.doc_id, hp.h_idx,
          coalesce(list_min(list_transform(sh_corp.s,
-           x -> (hp.a * ({_H_SQL.format(s='x')} % 1000000007) + hp.b) % 1000000007)),
+           x -> (hp.a * (x % 1000000007) + hp.b) % 1000000007)),
            1000000007) AS h_val
   FROM sh_corp, {_minhash_sql_values(16)}
 ),

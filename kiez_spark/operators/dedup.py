@@ -50,6 +50,16 @@ def exact_duplicates(
 def _with_shingles(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int
 ) -> DataFrame:
+    """(doc_id, sh ARRAY<BIGINT>) — the distinct 60-bit-hashed shingle
+    set. Shingles are hashed (md5-based token_hash, cross-engine stable)
+    at creation: every downstream consumer — minhash signatures, exact
+    Jaccard verification, inverted-index posting lists — then moves
+    8-byte ints instead of ~20-byte shingle strings, shrinking the
+    verification shuffle (the dominant byte-mover of the dedup ladder at
+    scale) ~2.5x and making set intersections integer compares. Two
+    shingles colliding at 60 bits would merge a set element (P ~
+    n_shingles^2 / 2^61 per doc, ~4e-15 at 100 shingles); the DuckDB
+    oracles apply the same hash, so cross-engine parity is exact."""
     # an under-partitioned source (a scan with few file splits) would run
     # the whole tokenize+shingle stage on a couple of cores — spread it to
     # the cluster's parallelism first (no-op on well-partitioned inputs;
@@ -60,7 +70,9 @@ def _with_shingles(
     tok = T.tokens(F.col(text_col))
     return df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
-        F.array_distinct(T.shingles(tok, shingle_n)).alias("sh"),
+        F.array_distinct(
+            F.transform(T.shingles(tok, shingle_n), T.token_hash)
+        ).alias("sh"),
     )
 
 
@@ -75,9 +87,10 @@ def minhash_signatures(
     """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one pass, column exprs only."""
     params = T.minhash_params(n_hashes, seed)
     shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
-        # md5 each shingle exactly once, reuse across all hash functions
+        # sh already holds the 60-bit md5 hash (computed once at shingle
+        # creation); only the mod-P reduction is per-signature work
         "hmod",
-        F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P)),
+        F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P)),
     )
     sig = F.array(*[T.minhash_from_hashes(F.col("hmod"), a, b) for a, b in params])
     return shingled.select("doc_id", sig.alias("sig"))
@@ -105,7 +118,7 @@ def minhash_lsh_pairs(
     # chain many dedup jobs should spark.catalog.clearCache() between them.
     shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
     params = T.minhash_params(n_hashes, seed)
-    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
+    hmod = F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P))
     sig = F.array(
         *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
     )
@@ -177,7 +190,7 @@ def build_minhash_index(
     of re-shingling the corpus (the S6 index-persistence pattern,
     operators/lsh.py save_index, applied to the dedup ladder)."""
     params = T.minhash_params(n_hashes, seed)
-    hmod = F.transform(F.col("sh"), lambda s: T.token_hash(s) % F.lit(T.MINHASH_P))
+    hmod = F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P))
     sig = F.array(
         *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
     )
