@@ -56,6 +56,12 @@ def main(argv=None) -> int:
                     help="also write the survivor decision table (id, "
                     "component, keep_id, is_survivor) — keeper = highest "
                     "quality_features score over content, ties -> min id")
+    ap.add_argument("--target-input", default=None, metavar="PATH",
+                    help="second repos_files table: switch to dual-space "
+                    "ALIGNMENT (source->target mutual-best matches, never "
+                    "source-to-source); output = (src_id, tgt_id, dist). "
+                    "With --synthetic, PATH 'mutated' aligns against a "
+                    "one-token-edit copy with planted gold links.")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -76,6 +82,45 @@ def main(argv=None) -> int:
             files = files.withColumn("row_id", F.monotonically_increasing_id())
     else:
         ap.error("one of --input / --synthetic is required")
+
+    if args.target_input:
+        from kiez_spark.linkage import align_files
+
+        if args.synthetic and args.target_input == "mutated":
+            tgt_files = synth.mutated_copy(files)
+        else:
+            tgt_files = spark.read.parquet(args.target_input)
+            if "row_id" not in tgt_files.columns:
+                from pyspark.sql import functions as F
+
+                tgt_files = tgt_files.withColumn(
+                    "row_id", F.monotonically_increasing_id()
+                )
+        ares = align_files(
+            spark, files, tgt_files, dim=args.dim, k=args.k,
+            n_candidates=args.n_candidates, hubness=args.hubness,
+            metric=args.metric, tier=args.tier, max_dist=args.max_dist,
+            checkpoint_dir=args.checkpoint_dir,
+        )
+        ares.matches.write.mode("overwrite").parquet(args.output)
+        report = {"matches": ares.matches.count()}
+        if args.checkpoint_dir and ares.checkpointer:
+            # source and target are distinct corpora: enforce the sha
+            # invariant within each space, not across them
+            report["sha_invariant_ok"] = ares.checkpointer.sha_invariant_ok(
+                groups=[["src_embeddings"], ["tgt_embeddings"]]
+            )
+        if args.evaluate_gold and args.synthetic:
+            f1 = E.pairwise_f1(
+                ares.matches.select("src_id", "tgt_id"),
+                synth.gold_alignment(files),
+                pred_cols=("src_id", "tgt_id"),
+            ).first()
+            report["pairwise_f1"] = f1.f1
+        print(json.dumps(report))
+        if owns_session:
+            spark.stop()
+        return 0
 
     res = link_files(
         spark, files, dim=args.dim, k=args.k, n_candidates=args.n_candidates,

@@ -143,14 +143,24 @@ class StageCheckpointer:
         )
         return bad.count() == 0
 
-    def sha_invariant_ok(self) -> bool:
+    def sha_invariant_ok(self, groups: list[list[str]] | None = None) -> bool:
         """True iff every stage that carries content_sha has the same xor
-        signature — the per-row sha256 set was preserved end-to-end."""
-        rows = (
-            self.metrics()
-            .filter(F.col("sha_sig") != 0)
-            .select("sha_sig")
-            .distinct()
-            .collect()
-        )
-        return len(rows) <= 1
+        signature — the per-row sha256 set was preserved end-to-end.
+
+        ``groups``: for pipelines over MORE THAN ONE corpus (dual-space
+        alignment: source and target legitimately have different content
+        sets), pass the stage names grouped by corpus; the invariant is
+        then enforced within each group instead of globally."""
+        m = self.metrics().filter(F.col("sha_sig") != 0)
+        if groups is None:
+            return m.select("sha_sig").distinct().count() <= 1
+        for names in groups:
+            n = (
+                m.filter(F.col("stage").isin(list(names)))
+                .select("sha_sig")
+                .distinct()
+                .count()
+            )
+            if n > 1:
+                return False
+        return True

@@ -1244,6 +1244,38 @@ def q_linkage_f1_lsh_scale(spark, sf_dir):
     ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
 
 
+def q_alignment_f1(spark, sf_dir):
+    """Dual-space alignment gate (the reference's headline use case):
+    source corpus vs a one-token-edit mutated copy; mutual-best CSLS
+    matches vs the planted gold alignment. Rows-only driver check; the
+    >=0.99 assertion lives in tests/test_synth_lsh_linkage.py."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+
+    src = synth.repos_files(spark, n=800)
+    tgt = synth.mutated_copy(src)
+    res = align_files(spark, src, tgt, hubness="csls", max_dist=12.0)
+    return E.pairwise_f1(
+        res.matches.select("src_id", "tgt_id"),
+        synth.gold_alignment(src),
+        pred_cols=("src_id", "tgt_id"),
+    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
+
+
+def q_alignment_hits(spark, sf_dir):
+    """hits@{1,5} of the forward hubness-reduced top-k against the
+    planted gold alignment (the reference's headline eval, hits@k)."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+
+    src = synth.repos_files(spark, n=800)
+    tgt = synth.mutated_copy(src)
+    res = align_files(spark, src, tgt, hubness="csls", mutual=False)
+    return E.hits_at_k(res.forward, synth.gold_alignment(src), ks=(1, 5)).select(
+        "k", F.round("hits", 6).alias("hits")
+    )
+
+
 def q_linkage_f1(spark, sf_dir):
     """Self-contained linkage quality gate: synthetic repos_files with
     planted gold clusters -> full pipeline -> pairwise F1 row."""
@@ -1532,6 +1564,8 @@ QUERIES = {
     "ivf_topk": (q_ivf_topk, None),
     "frame_sample": (q_frame_sample, None),
     "linkage_f1": (q_linkage_f1, None),
+    "alignment_f1": (q_alignment_f1, None),
+    "alignment_hits": (q_alignment_hits, None),
     "linkage_f1_lsh": (q_linkage_f1_lsh, None),
     "linkage_f1_lsh_scale": (q_linkage_f1_lsh_scale, None),
 }

@@ -132,3 +132,89 @@ def link_files(
 
     clusters = run_stage("clusters", build_clusters)
     return LinkageResult(emb, cands, pairs, clusters, ckpt)
+
+
+@dataclass
+class AlignmentResult:
+    src_embeddings: DataFrame
+    tgt_embeddings: DataFrame
+    forward: DataFrame
+    matches: DataFrame
+    checkpointer: StageCheckpointer | None
+
+
+def align_files(
+    spark: SparkSession,
+    src_files: DataFrame,
+    tgt_files: DataFrame,
+    *,
+    dim: int = 32,
+    k: int = 5,
+    n_candidates: int = 10,
+    hubness: str = "csls",
+    metric: str = "euclidean",
+    tier: str = "pandas",
+    max_dist: float | None = None,
+    mutual: bool = True,
+    checkpoint_dir: str | None = None,
+) -> AlignmentResult:
+    """Dual-space entity ALIGNMENT — the reference's headline use case
+    (/root/reference/kiez/kiez.py:19: hubness-reduced kNN "to compare
+    entity embeddings of two knowledge graphs"): every source entity is
+    matched to target entities, never source-to-source.
+
+    forward: hubness-reduced source->target top-k (the hits@k table).
+    matches: 1:1 link proposals — forward rank-1, optionally required to
+    be MUTUAL best (also rank-1 in the independently hubness-reduced
+    target->source direction; the standard reciprocal-best filter that
+    trades recall for precision), optionally gated on raw distance.
+    Stages checkpoint like link_files (resume + lineage + metrics).
+    """
+    ckpt = StageCheckpointer(spark, checkpoint_dir) if checkpoint_dir else None
+
+    def run_stage(name, build):
+        return ckpt.stage(name, build) if ckpt else build()
+
+    src_emb = run_stage("src_embeddings", lambda: derive_embeddings(src_files, dim=dim))
+    tgt_emb = run_stage("tgt_embeddings", lambda: derive_embeddings(tgt_files, dim=dim))
+
+    def knn(a: DataFrame, b: DataFrame) -> DataFrame:
+        eng = HubnessKnn(
+            PipelineConfig(
+                n_candidates=n_candidates, k=k, metric=metric,
+                hubness=hubness, tier=tier,
+            )
+        )
+        eng.fit(a.select("id", "vec"), b.select("id", "vec"))
+        return eng.kneighbors(k)
+
+    fwd = run_stage("forward", lambda: knn(src_emb, tgt_emb))
+
+    def build_matches() -> DataFrame:
+        best = fwd.filter(F.col("rank") == 1).select(
+            F.col("query_id").alias("src_id"),
+            F.col("cand_id").alias("tgt_id"),
+            "dist",
+        )
+        if mutual:
+            bwd = run_stage("backward", lambda: knn(tgt_emb, src_emb))
+            bwd_best = bwd.filter(F.col("rank") == 1).select(
+                F.col("cand_id").alias("src_id"),
+                F.col("query_id").alias("tgt_id"),
+            )
+            best = best.join(bwd_best, ["src_id", "tgt_id"])
+        if max_dist is not None:
+            from kiez_spark.functions.vectors import distance_expr
+
+            qv = src_emb.select(F.col("id").alias("src_id"), F.col("vec").alias("_qv"))
+            xv = tgt_emb.select(F.col("id").alias("tgt_id"), F.col("vec").alias("_xv"))
+            best = (
+                best.join(qv, "src_id")
+                .join(xv, "tgt_id")
+                .filter(distance_expr(F.col("_qv"), F.col("_xv"), metric) <= max_dist)
+                .select("src_id", "tgt_id", "dist")
+            )
+        return best
+
+    matches = run_stage("matches", build_matches)
+    return AlignmentResult(src_emb, tgt_emb, fwd, matches, ckpt)

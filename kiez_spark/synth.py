@@ -204,3 +204,25 @@ def gold_pairs(files: DataFrame) -> DataFrame:
         .filter(F.col("src_id") < F.col("tgt_id"))
         .select("src_id", "tgt_id")
     )
+
+
+def mutated_copy(
+    files: DataFrame, id_offset: int = 1_000_000, edit_token: str = "zz9"
+) -> DataFrame:
+    """A second 'knowledge graph' for alignment tests: every file copied
+    with one token edit (first token replaced) and row_id shifted by
+    ``id_offset``. Gold alignment = (row_id, row_id + id_offset)."""
+    out = files.withColumn("row_id", F.col("row_id") + id_offset).withColumn(
+        "content", F.regexp_replace(F.col("content"), r"^\S+", edit_token)
+    )
+    if "path" in out.columns:
+        out = out.withColumn("path", F.concat(F.col("path"), F.lit(".b")))
+    return out
+
+
+def gold_alignment(files: DataFrame, id_offset: int = 1_000_000) -> DataFrame:
+    """(src_id, tgt_id) gold links for files vs mutated_copy(files)."""
+    return files.select(
+        F.col("row_id").alias("src_id"),
+        (F.col("row_id") + id_offset).alias("tgt_id"),
+    )

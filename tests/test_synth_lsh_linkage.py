@@ -172,3 +172,27 @@ def test_salted_blocking_matches_unsalted(spark, files, emb):
     got_s = K.topk(salted, 3).select("query_id", "cand_id", "rank")
     assert got_p.exceptAll(got_s).count() == 0
     assert got_s.exceptAll(got_p).count() == 0
+
+
+def test_alignment_f1_and_hits(spark):
+    """Dual-space alignment recovers the planted gold links: mutual-best
+    CSLS F1 >= 0.99 and forward hits@1 >= 0.99 (the reference's headline
+    hits@k eval, north_rule F1 bar)."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+    from kiez_spark.operators import evaluate as E
+
+    src = synth.repos_files(spark, n=400)
+    tgt = synth.mutated_copy(src)
+    gold = synth.gold_alignment(src)
+    res = align_files(spark, src, tgt, hubness="csls", max_dist=12.0)
+    f1 = E.pairwise_f1(
+        res.matches.select("src_id", "tgt_id"), gold,
+        pred_cols=("src_id", "tgt_id"),
+    ).first()
+    assert f1.f1 >= 0.99, f1
+    hits = {r.k: r.hits for r in E.hits_at_k(res.forward, gold, ks=(1, 5)).collect()}
+    assert hits[1] >= 0.99 and hits[5] >= hits[1]
+    # matches are cross-space only: sources below the offset, targets above
+    bad = res.matches.filter("src_id >= 1000000 OR tgt_id < 1000000").count()
+    assert bad == 0
