@@ -246,5 +246,9 @@ def test_curation_ops(spark):
     # complement partitions exactly; different seed gives a different set
     s2 = {r.doc_id for r in CUR.sample_by_hash(big, 0.3, seed=2).collect()}
     assert s2 != ids1
+    # samples are NESTED across rates (bucket < cut is monotone in cut):
+    # growing a sample never drops previously selected rows
+    ids_small = {r.doc_id for r in CUR.sample_by_hash(big, 0.1, seed=1).collect()}
+    assert ids_small < ids1
     with pytest.raises(ValueError):
         CUR.sample_by_hash(big, 1.5)
