@@ -106,9 +106,16 @@ def main(argv=None) -> int:
         report = {"matches": ares.matches.count()}
         if args.checkpoint_dir and ares.checkpointer:
             # source and target are distinct corpora: enforce the sha
-            # invariant within each space, not across them
+            # invariant within each space, not across them. forward
+            # carries the src shas, backward the tgt shas (align_files
+            # threads content_sha through both kNN stages), so each
+            # group compares >= 2 sha-carrying stages — a real check,
+            # not a vacuous single-stage group.
             report["sha_invariant_ok"] = ares.checkpointer.sha_invariant_ok(
-                groups=[["src_embeddings"], ["tgt_embeddings"]]
+                groups=[
+                    ["src_embeddings", "forward"],
+                    ["tgt_embeddings", "backward"],
+                ]
             )
         if args.evaluate_gold and args.synthetic:
             f1 = E.pairwise_f1(

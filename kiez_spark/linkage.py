@@ -186,7 +186,14 @@ def align_files(
             )
         )
         eng.fit(a.select("id", "vec"), b.select("id", "vec"))
-        return eng.kneighbors(k)
+        # re-attach the query side's content_sha so the per-corpus sha
+        # invariant is checkable on this stage too (every query id emits
+        # a top-k group, so the DISTINCT sha set equals the embedding
+        # stage's — the same threading link_files does for its
+        # candidates stage)
+        return eng.kneighbors(k).join(
+            a.select(F.col("id").alias("query_id"), "content_sha"), "query_id"
+        )
 
     fwd = run_stage("forward", lambda: knn(src_emb, tgt_emb))
 

@@ -196,3 +196,33 @@ def test_alignment_f1_and_hits(spark):
     # matches are cross-space only: sources below the offset, targets above
     bad = res.matches.filter("src_id >= 1000000 OR tgt_id < 1000000").count()
     assert bad == 0
+
+
+def test_alignment_sha_invariant_nonvacuous(spark, tmp_path):
+    """The per-corpus sha invariant of align_files must compare >= 2
+    sha-carrying stages per group (src_embeddings vs forward, tgt vs
+    backward) — and must FAIL when a group mixes the two corpora, whose
+    content sets genuinely differ (the mutated copy edits one token per
+    non-primary row). Guards against the vacuous single-stage grouping."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+
+    src = synth.repos_files(spark, n=200)
+    tgt = synth.mutated_copy(src)
+    d = str(tmp_path / "ackpt")
+    res = align_files(spark, src, tgt, hubness="csls", checkpoint_dir=d)
+    res.matches.count()
+    ck = res.checkpointer
+    shas = {
+        r.stage: r.sha_sig for r in ck.metrics().collect() if r.sha_sig != 0
+    }
+    # forward/backward carry shas now — each group really compares stages
+    assert {"src_embeddings", "forward", "tgt_embeddings", "backward"} <= set(
+        shas
+    )
+    assert shas["src_embeddings"] == shas["forward"]
+    assert shas["tgt_embeddings"] == shas["backward"]
+    groups = [["src_embeddings", "forward"], ["tgt_embeddings", "backward"]]
+    assert ck.sha_invariant_ok(groups=groups)
+    # cross-corpus grouping must detect the content difference
+    assert not ck.sha_invariant_ok(groups=[["src_embeddings", "tgt_embeddings"]])
