@@ -1096,22 +1096,43 @@ def q_mp_empiric(spark, sf_dir):
 # ------------------------------------------------------------- streaming
 
 
+def _write_stream_batches(batches, d: str) -> None:
+    """Write each batch as ONE parquet file under ``d`` with explicitly
+    spaced mtimes (os.utime, 10s apart) so the file source's
+    oldest-first ordering is deterministic — no sleeping between writes
+    (the old mtime-by-wall-clock scheme cost 1.1s per batch)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    base = time.time() - 10_000.0
+    for i, b in enumerate(batches):
+        sub = os.path.join(d, f"_stage{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(sub)
+        (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
+        dst = os.path.join(d, f"batch_{i:05d}.parquet")
+        os.replace(part, dst)
+        shutil.rmtree(sub)
+        t = base + 10.0 * i
+        os.utime(dst, (t, t))
+
+
 def _stream_batches_to_memory(spark, schema: str, batches, build):
     """Deterministic micro-batch harness: write each batch as one parquet
-    file (mtime-ordered, maxFilesPerTrigger=1 -> one micro-batch each),
-    run ``build(readStream)`` into a memory sink with an availableNow
-    trigger, return the sink table. The input is a REAL file-source
-    stream, so state transitions across micro-batches are exercised."""
+    file (explicit mtime spacing, maxFilesPerTrigger=1 -> one micro-batch
+    each), run ``build(readStream)`` into a memory sink with an
+    availableNow trigger, return the sink table. The input is a REAL
+    file-source stream, so state transitions across micro-batches are
+    exercised. The memory sink materializes on the driver, so the temp
+    input/checkpoint dirs are removed before returning."""
+    import shutil
     import tempfile
-    import time
     import uuid
 
     d = tempfile.mkdtemp(prefix="kiez_stream_in_")
     ck = tempfile.mkdtemp(prefix="kiez_stream_ck_")
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("append").parquet(d)
-        if i < len(batches) - 1:
-            time.sleep(1.1)  # distinct file mtimes -> stable batch order
+    _write_stream_batches(batches, d)
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
     )
@@ -1125,8 +1146,18 @@ def _stream_batches_to_memory(spark, schema: str, batches, build):
         .option("checkpointLocation", ck)
         .start()
     )
-    q.awaitTermination(180)
-    return spark.table(qname)
+    try:
+        assert q.awaitTermination(180), "stream did not drain within 180s"
+    finally:
+        if q.isActive:
+            q.stop()
+    # pin the sink rows: the returned frame must stay valid after the
+    # temp input dir is gone (the memory sink itself lives on the driver,
+    # but downstream readers may re-plan — a local checkpoint decouples)
+    out = spark.table(qname).localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    return out
 
 
 def q_dedup_stream(spark, sf_dir):
