@@ -9,9 +9,12 @@ corpus against itself, state IS the corpus seen so far, bounded by the
 number of distinct band keys.
 
 Scale notes: state is partitioned by band key (a plain stream shuffle);
-at 10^12-file scale you bound state with a TTL timeout (state expiry =
-"dedup window") — wired here via ``GroupStateTimeout`` but defaulted to
-NoTimeout for deterministic tests.
+at 10^12-file scale you bound state with a TTL (state expiry = "dedup
+window"): pass ``ttl_ms`` to run under ProcessingTimeTimeout — idle band
+keys are REMOVED via the hasTimedOut callback (the state-size bound),
+and a key whose last sighting is older than the TTL re-admits its next
+document as a fresh first (stale state never flags). Default ttl_ms=None
+keeps NoTimeout for deterministic tests/oracles.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 from kiez_spark.functions import text as T
 
 _OUT_SCHEMA = "band_key bigint, doc_id bigint, first_id bigint"
-_STATE_SCHEMA = "first_id bigint"
+_STATE_SCHEMA = "first_id bigint, last_seen_ms bigint"
 
 
 def banded_keys(
@@ -59,17 +62,57 @@ def banded_keys(
 def online_neardup_flags(
     stream_df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 16, bands: int = 4, shingle_n: int = 3, seed: int = 42,
+    ttl_ms: int | None = None, emit_expiry: bool = False,
 ) -> DataFrame:
     """Streaming (doc_id, first_id) collision flags, deduplicated across
-    bands downstream by the caller if desired."""
+    bands downstream by the caller if desired.
+
+    ``ttl_ms`` bounds state size (the 10^12-file requirement): under
+    ProcessingTimeTimeout, a band key idle for > ttl_ms is removed by the
+    timeout callback on the next trigger, and state older than ttl_ms is
+    treated as absent even when data arrives before the callback fires
+    (Spark delivers data-and-state to the same invocation, so expiry must
+    be checked against the stored last-seen clock, not only hasTimedOut).
+    ``emit_expiry`` additionally emits one (band_key, -1, old_first)
+    tombstone per expired key — an expiry audit stream, and the testable
+    witness that the removal path executed. NOTE: a TTL'd query must run
+    under a processing-time trigger with an explicit stop;
+    Trigger.AvailableNow never terminates while processing-time timeouts
+    are registered (it keeps scheduling batches to fire them).
+    """
     banded = banded_keys(
         stream_df, id_col, text_col, n_hashes, bands, shingle_n, seed
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
     )
 
     def flag(key, pdfs, state):
         import pandas as pd  # noqa: PLC0415
 
-        first = state.get[0] if state.exists else None
+        if state.hasTimedOut:
+            # idle-key expiry: drop the state row entirely (the bound).
+            # The (empty) input iterator must still be drained — leaving
+            # it unconsumed breaks the Arrow stream framing and crashes
+            # the python worker.
+            for _ in pdfs:
+                pass
+            old_first = state.get[0] if state.exists else None
+            state.remove()
+            if emit_expiry and old_first is not None:
+                yield pd.DataFrame(
+                    {"band_key": key[0], "doc_id": [-1],
+                     "first_id": [old_first]}
+                )
+            return
+        now = state.getCurrentProcessingTimeMs() if ttl_ms is not None else 0
+        first = None
+        if state.exists:
+            first, last_seen = state.get
+            if ttl_ms is not None and now - last_seen > ttl_ms:
+                first = None  # stale state: re-admit as a fresh first
         out_docs, out_first = [], []
         for pdf in pdfs:
             for did in sorted(int(x) for x in pdf["doc_id"]):
@@ -78,7 +121,9 @@ def online_neardup_flags(
                 elif did != first:
                     out_docs.append(did)
                     out_first.append(first)
-        state.update((first,))
+        state.update((first, now))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if out_docs:
             yield pd.DataFrame(
                 {
@@ -89,6 +134,5 @@ def online_neardup_flags(
             )
 
     return banded.groupBy("band_key").applyInPandasWithState(
-        flag, _OUT_SCHEMA, _STATE_SCHEMA, "append",
-        GroupStateTimeout.NoTimeout,
+        flag, _OUT_SCHEMA, _STATE_SCHEMA, "append", timeout,
     )

@@ -71,3 +71,133 @@ def test_banded_keys_match_batch_banding(spark):
     )
     got = {(r.u, r.v) for r in j.collect()}
     assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+def _append_batch(spark, d, i, rows):
+    """One parquet file == one micro-batch (maxFilesPerTrigger=1)."""
+    import glob
+    import os
+    import shutil
+
+    sub = os.path.join(d, f"_stage{i}")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(sub)
+    (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
+    os.replace(part, os.path.join(d, f"batch_{i:05d}.parquet"))
+    shutil.rmtree(sub)
+
+
+def _processed_rows(q):
+    return sum(int(p["numInputRows"]) for p in q.recentProgress)
+
+
+def _wait_input_rows(q, want, timeout=60):
+    t0 = time.time()
+    while time.time() - t0 < timeout:
+        if _processed_rows(q) >= want:
+            return
+        time.sleep(0.3)
+    raise AssertionError(
+        f"stream processed {_processed_rows(q)} rows, wanted {want}"
+    )
+
+
+def test_state_ttl_expires_and_readmits(spark, tmp_path):
+    """ProcessingTimeTimeout TTL, live trigger (AvailableNow never
+    terminates while processing-time timeouts are registered — see the
+    operator docstring): an idle band key past its TTL is removed by the
+    hasTimedOut callback (witnessed by the emit_expiry tombstone), the
+    next colliding doc is RE-ADMITTED as a fresh first instead of being
+    flagged against the expired one, and the re-seeded state flags the
+    doc after that."""
+    d, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    # generous TTL: micro-batch latency on this host is ~1-2s, so the
+    # no-expiry windows (batch2 -> batch3) must sit far below the TTL
+    ttl = 12000
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        ST.online_neardup_flags(stream, ttl_ms=ttl, emit_expiry=True)
+        .writeStream.format("memory")
+        .queryName("ttl_live")
+        .outputMode("append")
+        .trigger(processingTime="400 milliseconds")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        def flags():
+            rows = spark.sql(
+                "select distinct doc_id, first_id from ttl_live"
+            ).collect()
+            return {(r.doc_id, r.first_id) for r in rows}
+
+        _append_batch(spark, d, 0, [(1, BASE)])
+        _wait_input_rows(q, 1)
+        time.sleep(15)  # TTL lapses; empty trigger fires the timeout
+        _append_batch(spark, d, 1, [(3, NEAR)])
+        _wait_input_rows(q, 2)
+        got = flags()
+        # the hasTimedOut removal actually ran: expiry tombstone for 1
+        assert (-1, 1) in got, f"no expiry tombstone in {got}"
+        assert (3, 1) not in got, "expired state must not flag"
+        # immediately after: doc 5 collides with the RE-SEEDED first (3)
+        _append_batch(spark, d, 2, [(5, NEAR)])
+        _wait_input_rows(q, 3)
+        t0 = time.time()
+        while (5, 3) not in flags() and time.time() - t0 < 30:
+            time.sleep(0.3)
+        got = flags()
+        assert (5, 3) in got and (5, 1) not in got, got
+    finally:
+        q.stop()
+
+
+def test_no_ttl_control_flags_after_same_delay(spark, tmp_path):
+    """Control: the identical schedule WITHOUT a TTL flags across the
+    delay — proving the ttl path (not the trigger cadence) changes
+    behavior."""
+    d, ck = str(tmp_path / "in"), str(tmp_path / "ck")
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        ST.online_neardup_flags(stream)
+        .writeStream.format("memory")
+        .queryName("nottl_live")
+        .outputMode("append")
+        .trigger(processingTime="400 milliseconds")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    try:
+        _append_batch(spark, d, 0, [(1, BASE)])
+        _wait_input_rows(q, 1)
+        time.sleep(2.5)
+        _append_batch(spark, d, 1, [(3, NEAR)])
+        _wait_input_rows(q, 2)
+        t0 = time.time()
+
+        def flags():
+            rows = spark.sql(
+                "select distinct doc_id, first_id from nottl_live"
+            ).collect()
+            return {(r.doc_id, r.first_id) for r in rows}
+
+        while (3, 1) not in flags() and time.time() - t0 < 30:
+            time.sleep(0.3)
+        assert (3, 1) in flags()
+    finally:
+        q.stop()
