@@ -240,6 +240,16 @@ def minhash_lsh_join(
     skip the corpus-side shingling + signature work entirely — the
     corpus pays its scan once per version, each increment only its own.
     ``n_hashes``/``shingle_n``/``seed`` must match the index build.
+
+    Cache lifetime (the minhash_lsh_pairs convention): each side's
+    freshly built index is persisted because it feeds both the banding
+    and the verification join of the returned LAZY plan, so it cannot be
+    unpersisted here. Entries are MEMORY_AND_DISK LRU-evicted under
+    pressure, but a driver looping many increments in one session should
+    ``spark.catalog.clearCache()`` between them — note Spark also REUSES
+    a persisted frame for any canonically-equal plan, so an un-cleared
+    cache can silently serve a previous increment's index to a re-built
+    (identical) plan.
     """
     assert n_hashes % bands == 0
     assert (corpus_df is None) != (corpus_index is None), (
