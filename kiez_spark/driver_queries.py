@@ -39,6 +39,7 @@ from kiez_spark.operators import knn as K
 from kiez_spark.operators import lsh as L
 from kiez_spark.operators import multimodal as M
 from kiez_spark.operators import similarity as SIM
+from kiez_spark.operators import skew as SK
 from kiez_spark.operators import text_analysis as TA
 from kiez_spark.pipeline import HubnessKnn, PipelineConfig
 
@@ -218,6 +219,54 @@ pairs AS (
   SELECT a.id AS qid, b.id AS cid, sum(abs(a.val - b.val)) AS d
   FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
   GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
+def q_salted_join(spark, sf_dir):
+    """Skew-salted blocked kNN must EQUAL the plain per-key kNN — the
+    oracle is the UNSALTED SQL, so exact equality (the whole point of
+    salting: a pure physical re-partitioning) is what the gate checks.
+    The blocking key is deliberately skewed (~half the rows on one hot
+    key, the north_rule skew scenario); salting splits the hot key into
+    ~id-hashed shards and replicates the index side per shard
+    (operators/skew.py), so each query still sees every index row of its
+    key exactly once."""
+    emb = _emb(spark, sf_dir)
+    keyed = emb.select(
+        "id",
+        "vec",
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 5).cast("string")))
+        .alias("bkey"),
+    )
+    qs, xs = SK.salted_blocks(keyed, keyed, key="bkey", target_rows=64)
+    nn = K.knn_join_blocked(
+        qs, xs, k=TOP_K, metric="euclidean", block_col="block",
+        exclude_self=True,
+    )
+    return K.topk(nn, TOP_K).select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_SALTED_JOIN = f"""
+WITH {_V_SQL},
+keyed AS (
+  SELECT id, vec,
+         CASE WHEN id % 2 = 0 THEN 'hot'
+              ELSE 'k' || (id % 5)::VARCHAR END AS bkey
+  FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid, list_distance(a.vec, b.vec) AS d
+  FROM keyed a JOIN keyed b ON a.bkey = b.bkey AND a.id <> b.id
 ),
 fwd AS (
   SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
@@ -1552,6 +1601,7 @@ QUERIES = {
     "knn_exact_expr_tier": (q_knn_euclidean_expr, SQL_KNN_EUCLIDEAN),
     "knn_exact_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
+    "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
     "hubness_ls": (_hubness_query("ls"), SQL_HUBNESS_LS),
