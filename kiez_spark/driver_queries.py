@@ -1126,15 +1126,29 @@ def q_lsh_recall_report(spark, sf_dir):
 
 
 def q_ivf_recall_report(spark, sf_dir):
+    """Exact-vs-IVF agreement at two operating points: the baseline
+    single-assignment index (16 cells, nprobe 4) and the tuned
+    multi-assignment one (nprobe 6, n_assign 2 — each index vector in
+    its 2 closest cells). The driver embeddings are near-random (the
+    hard case for IVF), so the tuned point is what a production corpus
+    of this shape would run."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    exact = SIM.cosine_topk(emb, k=TOP_K, tier="pandas")
-    approx = SIM.ivf_topk(emb, k=TOP_K, n_cells=16, nprobe=4)
-    hit = approx.select("query_id", "cand_id").intersect(
-        exact.select("query_id", "cand_id")
+    exact = SIM.cosine_topk(emb, k=TOP_K, tier="pandas").select(
+        "query_id", "cand_id"
     )
     total = exact.count()
+
+    def recall_of(**kw):
+        approx = SIM.ivf_topk(emb, k=TOP_K, n_cells=16, **kw)
+        return round(
+            approx.select("query_id", "cand_id").intersect(exact).count()
+            / total,
+            6,
+        )
+
     return spark.createDataFrame(
-        [(round(hit.count() / total, 6),)], "recall double"
+        [(recall_of(nprobe=4), recall_of(nprobe=6, n_assign=2))],
+        "recall_base double, recall_tuned double",
     )
 
 

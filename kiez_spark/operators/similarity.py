@@ -115,10 +115,20 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_iters: int = 3,
+    n_assign: int = 1,
 ) -> DataFrame:
     """Approximate self top-k via an inverted-file index with trained
     coarse centroids (``train_iters=0`` falls back to the hash-sampled
-    init — the round-1/2 behavior)."""
+    init — the round-1/2 behavior).
+
+    ``n_assign`` > 1 is MULTI-ASSIGNMENT: each index vector is stored in
+    its n_assign closest cells, the standard IVF fix for boundary
+    vectors whose true neighbors straddle a cell edge. Candidate work
+    scales as nprobe * n_assign / n_cells of the brute-force pass (index
+    replication factor = n_assign), so (nprobe=6, n_assign=2) costs the
+    same as (nprobe=12, n_assign=1) but recalls better on weakly
+    clustered data: boundary candidates only need EITHER side of the
+    pair to land in a shared cell."""
     base = emb.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -128,12 +138,13 @@ def ivf_topk(
         F.col("cell_id").alias("id"), F.col("cvec").alias("vec")
     )
     # ONE pass against the (tiny, broadcast) centroid table yields both
-    # the probe list (rank <= nprobe) and the cell assignment (rank 1)
+    # the probe list (rank <= nprobe) and the cell assignment
+    # (rank <= n_assign)
     probes_all = K.knn_join_expr(
-        base, cent, k=nprobe, metric=metric, exclude_self=False
+        base, cent, k=max(nprobe, n_assign), metric=metric, exclude_self=False
     ).select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"), "rank")
-    probes = probes_all.select("id", "cell")
-    assign = probes_all.filter(F.col("rank") == 1).select("id", "cell")
+    probes = probes_all.filter(F.col("rank") <= nprobe).select("id", "cell")
+    assign = probes_all.filter(F.col("rank") <= n_assign).select("id", "cell")
 
     q = base.join(probes, "id").select("id", "vec", F.col("cell").alias("block"))
     x = base.join(assign, "id").select("id", "vec", F.col("cell").alias("block"))

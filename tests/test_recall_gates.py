@@ -47,7 +47,7 @@ def test_ivf_recall_floor(spark, clustered_df):
         exact.select("query_id", "cand_id")
     )
     recall = hit.count() / exact.count()
-    assert recall >= 0.85, f"IVF recall regressed: {recall:.3f}"
+    assert recall >= 0.95, f"IVF recall regressed: {recall:.3f}"
 
 
 def test_ivf_trained_beats_or_matches_untrained(spark, clustered_df):
@@ -68,7 +68,30 @@ def test_ivf_trained_beats_or_matches_untrained(spark, clustered_df):
                                          train_iters=0))
     r_trained = recall_of(SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4))
     assert r_trained >= r_untrained - 0.02, (r_trained, r_untrained)
-    assert r_trained >= 0.85
+    assert r_trained >= 0.95
+
+
+def test_ivf_multi_assign_recall_floor(spark):
+    """Multi-assignment on WEAKLY clustered data (iid gaussian — the
+    hard case for IVF: true neighbors straddle cell boundaries):
+    n_assign=2 must clear 0.9 recall and beat single assignment at the
+    same nprobe. Measured on this fixed seed: 0.83 -> 0.96."""
+    rng = np.random.RandomState(3)
+    pts = rng.randn(400, 16)
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(400)]
+    emb = spark.createDataFrame(rows, "id bigint, vec array<double>").select(
+        F.col("id").alias("vec_id"), F.col("vec").alias("embedding")
+    ).cache()
+    exact = SIM.cosine_topk(emb, k=5).select("query_id", "cand_id").cache()
+    total = exact.count()
+
+    def recall_of(n_assign):
+        a = SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4, n_assign=n_assign)
+        return a.select("query_id", "cand_id").intersect(exact).count() / total
+
+    r1, r2 = recall_of(1), recall_of(2)
+    assert r2 >= 0.9, f"multi-assign recall {r2:.3f} < 0.9"
+    assert r2 >= r1, (r1, r2)
 
 
 def test_embedding_neardup_approx_recall(spark):
