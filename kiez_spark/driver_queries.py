@@ -1105,6 +1105,66 @@ FROM documents
 """
 
 
+def q_decode_ppm(spark, sf_dir):
+    """REAL image decode under the oracle gate: synthesize binary P6 PPM
+    files from the text column (pure Spark binary-concat exprs), decode
+    them with the pure-python P6 parser (multimodal.decode_image,
+    fake=False), and check the parsed dimensions + mean gray level
+    against DuckDB byte arithmetic on the same payload — gray of an RGB
+    triple is the byte mean, so the image mean equals the payload's
+    byte-value mean."""
+    blobs = M.synth_ppm_blobs(_docs(spark, sf_dir))
+    return M.decode_image(blobs).select(
+        "doc_id", "height", "width", F.round("mean_px", 6).alias("mean_px")
+    )
+
+
+SQL_DECODE_PPM = """
+WITH p AS (
+  SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS payload
+  FROM documents
+)
+SELECT doc_id, 8::INT AS height, 8::INT AS width,
+       round(list_avg(list_transform(generate_series(1, 192),
+                                     i -> unicode(substr(payload, i, 1)))),
+             6) AS mean_px
+FROM p
+"""
+
+
+def q_decode_wav(spark, sf_dir):
+    """REAL audio decode under the oracle gate: synthesize PCM16 mono
+    RIFF/WAVE blobs whose sample values equal the text's byte values
+    (low byte = text, high byte = 0), walk the chunk list with the
+    pure-python parser, and check rate/channels/sample stats against
+    DuckDB byte arithmetic."""
+    blobs = M.synth_wav_blobs(_docs(spark, sf_dir))
+    return M.decode_audio(blobs).select(
+        "doc_id", "sample_rate", "n_channels", "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+SQL_DECODE_WAV = """
+WITH p AS (
+  SELECT doc_id, rpad(substr(text, 1, 128), 128, ' ') AS payload
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 128),
+                        i -> unicode(substr(payload, i, 1))) AS vals
+  FROM p
+)
+SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
+       128::BIGINT AS n_samples,
+       round(list_avg(vals), 6) AS mean_amp,
+       round(sqrt(list_avg(list_transform(vals, v -> v * v))), 6) AS rms
+FROM s
+"""
+
+
 def q_lsh_recall_report(spark, sf_dir):
     """Exact-vs-approximate agreement as a first-class result (the
     reference's faiss Flat-vs-ANN test semantic, test_faiss.py:22-46):
@@ -1651,6 +1711,8 @@ QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "decode_ppm": (q_decode_ppm, SQL_DECODE_PPM),
+    "decode_wav": (q_decode_wav, SQL_DECODE_WAV),
     "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
     "online_neardup_flags": (q_online_neardup_flags, SQL_ONLINE_NEARDUP_FLAGS),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),

@@ -126,7 +126,9 @@ def test_multimodal_plumbing(spark, docs):
     assert len(feats) == 50
     assert all(len(r.feat) == 8 for r in feats)
     assert all(abs(sum(r.feat) - 1.0) < 1e-9 for r in feats)
-    with pytest.raises(NotImplementedError):
+    # non-PPM bytes through the REAL path: NotImplementedError is
+    # raised in the worker and surfaces wrapped by Spark
+    with pytest.raises(Exception, match="only binary PPM"):
         M.decode_image(blobs).collect()
     frames = M.frame_sample(blobs, n_frames=4)
     per_doc = frames.groupBy("doc_id").count().agg(F.min("count")).first()[0]
@@ -252,3 +254,55 @@ def test_curation_ops(spark):
     assert ids_small < ids1
     with pytest.raises(ValueError):
         CUR.sample_by_hash(big, 1.5)
+
+
+def test_real_ppm_decode(spark, docs):
+    """The REAL decode path: synthesized binary P6 PPMs parse to the
+    right dims and features; non-PPM blobs still raise; the parser
+    honors netpbm comments and whitespace."""
+    import numpy as np
+
+    blobs = M.synth_ppm_blobs(docs.limit(20))
+    feats = M.decode_image(blobs).collect()
+    assert len(feats) == 20
+    assert all(r.height == 8 and r.width == 8 for r in feats)
+    assert all(abs(sum(r.feat) - 1.0) < 1e-9 for r in feats)
+    # python cross-check of one blob
+    raw = bytes(blobs.orderBy("doc_id").first().blob)
+    w, h, gray = M._parse_ppm(raw)
+    got = next(r for r in feats if r.doc_id == blobs.orderBy("doc_id").first().doc_id)
+    assert (w, h) == (8, 8) and abs(got.mean_px - float(np.mean(gray))) < 1e-9
+    # comment + wide whitespace header variant
+    body = bytes(range(2 * 3 * 3)) * 1
+    ppm = b"P6\n# a comment\n 3\t2 \n255\n" + body
+    w2, h2, g2 = M._parse_ppm(ppm)
+    assert (w2, h2) == (3, 2) and len(g2) == 6
+    # non-PPM magic -> honest NotImplementedError
+    with pytest.raises(NotImplementedError):
+        M._parse_ppm(b"\x89PNG....")
+
+
+def test_real_wav_decode(spark, docs):
+    """The REAL audio path: PCM16 RIFF/WAVE round-trip — sample values
+    equal the source text bytes; truncated/foreign containers raise."""
+    import numpy as np
+
+    blobs = M.synth_wav_blobs(docs.limit(20))
+    out = M.decode_audio(blobs).orderBy("doc_id").collect()
+    assert len(out) == 20
+    assert all(
+        r.sample_rate == 8000 and r.n_channels == 1 and r.n_samples == 128
+        for r in out
+    )
+    first_doc = docs.orderBy("doc_id").first()
+    padded = (first_doc.text[:128] + " " * 128)[:128].encode()
+    want = np.frombuffer(padded, dtype=np.uint8).astype(np.float64)
+    got = next(r for r in out if r.doc_id == first_doc.doc_id)
+    assert abs(got.mean_amp - float(want.mean())) < 1e-9
+    assert abs(got.rms - float(np.sqrt((want**2).mean()))) < 1e-9
+    with pytest.raises(Exception):
+        M.decode_audio(
+            spark.createDataFrame(
+                [(1, bytearray(b"OggS not a wav"))], "doc_id bigint, blob binary"
+            )
+        ).collect()
