@@ -69,6 +69,13 @@ def link_files(
         return ckpt.stage(name, build) if ckpt else build()
 
     emb = run_stage("embeddings", lambda: derive_embeddings(files, dim=dim))
+    if ckpt is None:
+        # un-checkpointed runs: the embedding table is consumed by four
+        # downstream plans (fit, query/cand vector joins, the cluster
+        # sha join, the CC node universe) — cut the lineage once, lazily,
+        # so the kernel runs one time instead of per consumer. With a
+        # checkpointer the parquet stage already provides this.
+        emb = emb.localCheckpoint(eager=False)
 
     def build_candidates() -> DataFrame:
         eng = HubnessKnn(

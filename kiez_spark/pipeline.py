@@ -151,14 +151,16 @@ class HubnessKnn:
         if c.tier == "lsh":
             from kiez_spark.operators import lsh as L
 
-            cands = L.lsh_candidates(
-                queries, index, c.metric,
+            # bucket-local kernel top-k: provably identical output to
+            # topk(lsh_candidates(...), k) but the collision rows never
+            # leave their bucket (see lsh.lsh_topk docstring)
+            return L.lsh_topk(
+                queries, index, k, c.metric,
                 id_col=c.id_col, vec_col=c.vec_col,
                 n_tables=c.lsh_tables, n_bits=c.lsh_bits,
                 bucket_width=c.lsh_bucket_width, seed=c.lsh_seed,
                 exclude_self=exclude_self,
             )
-            return K.topk(cands, k)
         raise AssertionError(c.tier)
 
     def fit(self, source: DataFrame, target: DataFrame | None = None) -> "HubnessKnn":

@@ -131,30 +131,81 @@ def derive_embeddings(
 ) -> DataFrame:
     """(id, vec, content_sha) hash-feature embeddings of the token stream.
 
-    dim j = sum over tokens of (hash(token, j, seed) mod 2001 - 1000)/1000
-    — pure column expressions (nested transform/aggregate), JVM-side.
+    dim j of a document = sum over its tokens of a token-and-j-seeded
+    value in [-1, 1]: with h = md5-60bit(token), h1 = h mod 2003,
+    h2 = h mod 1999, the per-(token, j) value is
+    ((a_j*h1 + b_j*h2 + c_j) mod 2001 - 1000) / 1000, a/b/c drawn once
+    from RandomState(seed). Two distinct tokens share a whole VECTOR
+    only when h1 AND h2 collide (~2.5e-7 per pair), so the structure
+    matches the previous per-dim-independent-hash formula: a one-token
+    edit moves the vector by O(1/sqrt(L)).
+
+    Implementation is an Arrow-vectorized kernel (mapInPandas): each
+    distinct token in a batch is hashed once, then all (token, dim)
+    values come from one numpy broadcast and per-row sums from one
+    reduceat — deterministic from content alone, any partitioning. The
+    previous nested transform/aggregate column-expression form computed
+    the same SHAPE of formula JVM-side, but Catalyst evaluates
+    higher-order-function lambdas interpreted (outside whole-stage
+    codegen): 32 dims x ~50 tokens x N rows of interpreted xxhash64
+    calls made embedding derivation dominate the linkage pipeline
+    (45s of a 50s n=20000 run — ~20x slower than this kernel).
     """
-    toks = F.split(F.col("content"), " ")
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: F.aggregate(
-            toks,
-            F.lit(0.0),
-            lambda acc, t: acc
-            + (
-                F.pmod(F.xxhash64(t, j.cast("long"), F.lit(seed)), F.lit(2001)).cast(
-                    "double"
-                )
-                - 1000.0
+    import hashlib  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 2001, size=dim).astype(np.int64)
+    b = rs.randint(1, 1999, size=dim).astype(np.int64)
+    c = rs.randint(0, 2001, size=dim).astype(np.int64)
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+
+        def tok_h(t: str) -> int:
+            h = cache.get(t)
+            if h is None:
+                h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+                cache[t] = h
+            return h
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tok_lists = [s.split(" ") for s in pdf["content"]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )
-            / 1000.0,
-        ),
-    )
-    out = files.withColumn("content_sha", F.sha2(F.col("content"), 256))
-    return out.select(
-        F.col("row_id").alias("id"),
-        vec.alias("vec"),
-        "content_sha",
+            flat = np.fromiter(
+                (tok_h(t) for toks in tok_lists for t in toks),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            h1 = (flat % 2003)[:, None]
+            h2 = (flat % 1999)[:, None]
+            vals = (
+                ((h1 * a[None, :] + h2 * b[None, :] + c[None, :]) % 2001)
+                - 1000
+            ).astype(np.float64) / 1000.0
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(vals, starts, axis=0)
+            sums[lens == 0] = 0.0  # reduceat on an empty slice is bogus
+            yield pd.DataFrame(
+                {
+                    "id": pdf["row_id"].astype("int64"),
+                    "vec": list(sums),
+                    "content_sha": [
+                        hashlib.sha256(s.encode()).hexdigest()
+                        for s in pdf["content"]
+                    ],
+                }
+            )
+
+    return files.select("row_id", "content").mapInPandas(
+        kernel, "id bigint, vec array<double>, content_sha string"
     )
 
 

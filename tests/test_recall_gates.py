@@ -144,3 +144,24 @@ def test_neardup_auto_tier_large_input_warns(spark, monkeypatch):
         W.simplefilter("error")
         df = D.embedding_neardup_pairs(emb, max_cos_dist=0.5, n_rows=10)
     assert "cos_dist" in df.columns  # exact tier, built lazily
+
+
+def test_lsh_topk_equals_naive_form(spark, clustered_df):
+    """lsh_topk (bucket-local kernel top-k) must produce EXACTLY the
+    rows of topk(lsh_candidates(...), k) — same candidates, same exact
+    distances, same (dist, cand_id) ranking — for both metric families
+    (sign-bit and bucketed projections)."""
+    for metric, kw in (
+        ("cosine", dict(n_tables=8, n_bits=8)),
+        ("euclidean", dict(n_tables=8, n_bits=6, bucket_width=8.0)),
+    ):
+        naive = K.topk(
+            L.lsh_candidates(clustered_df, clustered_df, metric,
+                             exclude_self=True, **kw),
+            5,
+        ).select("query_id", "cand_id", "rank")
+        fast = L.lsh_topk(
+            clustered_df, clustered_df, 5, metric, exclude_self=True, **kw
+        ).select("query_id", "cand_id", "rank")
+        assert naive.exceptAll(fast).count() == 0, metric
+        assert fast.exceptAll(naive).count() == 0, metric
