@@ -1612,6 +1612,73 @@ FROM scored WHERE term_rank <= 3
 """
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition signals (uniq-token / adjacent-repeat /
+    top-n-gram fractions) vs DuckDB list-lambda twins."""
+    return TA.repetition_features(_docs(spark, sf_dir))
+
+
+_REP_SQL = f"""
+rep AS (
+  WITH t AS (
+    SELECT doc_id, {_TOKENS_SQL.format(col="text")} AS toks FROM documents
+  ),
+  b AS (
+    SELECT doc_id, toks, len(toks) AS n, len(list_distinct(toks)) AS nd,
+           {_shingles_sql("toks", 2)} AS sh2,
+           {_shingles_sql("toks", 3)} AS sh3
+    FROM t
+  )
+  SELECT doc_id, n::INT AS n_tokens,
+    round(CASE WHEN n > 0 THEN nd / CAST(n AS DOUBLE) ELSE 0 END, 6)
+      AS uniq_token_frac,
+    round(CASE WHEN n > 1 THEN
+      len(list_filter(generate_series(2, n), i -> toks[i] = toks[i-1]))
+        / CAST(n - 1 AS DOUBLE) ELSE 0 END, 6) AS adj_repeat_frac,
+    round(CASE WHEN len(sh2) > 0 THEN
+      list_max(list_transform(list_distinct(sh2),
+                              x -> len(list_filter(sh2, y -> y = x))))
+        / CAST(len(sh2) AS DOUBLE) ELSE 0 END, 6) AS top2gram_frac,
+    round(CASE WHEN len(sh3) > 0 THEN
+      list_max(list_transform(list_distinct(sh3),
+                              x -> len(list_filter(sh3, y -> y = x))))
+        / CAST(len(sh3) AS DOUBLE) ELSE 0 END, 6) AS top3gram_frac
+  FROM b
+)
+"""
+
+SQL_REPETITION_FEATURES = f"""
+WITH {_REP_SQL}
+SELECT * FROM rep
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """Keep/drop curation decision with the first failing rule named;
+    thresholds sit inside the corpus distribution so BOTH classes are
+    exercised (~10-25% drops on this corpus)."""
+    return CUR.quality_filter(
+        _docs(spark, sf_dir), min_tokens=15, min_uniq_frac=0.35,
+        max_top2gram_frac=0.20, max_adj_repeat_frac=0.10,
+    ).select("doc_id", "reason", "keep")
+
+
+SQL_QUALITY_FILTER = f"""
+WITH {_REP_SQL},
+dec AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens < 15 THEN 'too_short'
+         WHEN n_tokens > 100000 THEN 'too_long'
+         WHEN uniq_token_frac < 0.35 THEN 'low_uniq'
+         WHEN top2gram_frac > 0.20 THEN 'rep_2gram'
+         WHEN adj_repeat_frac > 0.10 THEN 'rep_adjacent'
+         ELSE 'ok' END AS reason
+  FROM rep
+)
+SELECT doc_id, reason, reason = 'ok' AS keep FROM dec
+"""
+
+
 def q_scrub_text(spark, sf_dir):
     """Text-cleaning pass over documents seeded with planted URLs/e-mails
     (every 3rd/5th doc gets one appended — the driver corpus has none)."""
@@ -1706,6 +1773,8 @@ QUERIES = {
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
+    "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),
+    "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),

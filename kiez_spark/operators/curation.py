@@ -67,3 +67,35 @@ def sample_by_hash(
         F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
     ) % F.lit(_SAMPLE_BUCKETS)
     return df.filter(bucket < F.lit(cut))
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    min_uniq_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    max_adj_repeat_frac: float = 0.10,
+) -> DataFrame:
+    """(doc_id, keep, reason): the Gopher-style keep/drop curation
+    decision over the repetition signals, with the FIRST failing rule
+    named — the audit column a production filter pipeline needs (drop
+    rates per reason are the monitoring signal). Thresholds compare the
+    6-dp-rounded fractions so the decision is engine-exact."""
+    from kiez_spark.operators.text_analysis import repetition_features
+
+    rep = repetition_features(df, id_col, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("n_tokens") > max_tokens, "too_long")
+        .when(F.col("uniq_token_frac") < min_uniq_frac, "low_uniq")
+        .when(F.col("top2gram_frac") > max_top2gram_frac, "rep_2gram")
+        .when(F.col("adj_repeat_frac") > max_adj_repeat_frac, "rep_adjacent")
+        .otherwise("ok")
+    )
+    return rep.select(
+        "doc_id",
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "ok")

@@ -139,3 +139,52 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         F.col(id_col).cast("bigint").alias("doc_id"),
         T.rolling_fingerprint(tok).alias("fingerprint"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, uniq_token_frac, adj_repeat_frac,
+    top2gram_frac, top3gram_frac) — Gopher-style repetition signals
+    (Rae et al. 2021 quality rules): heavily repeated n-grams mark
+    boilerplate/spam that poisons training data. Pure column exprs; the
+    per-doc most-frequent-n-gram count is a bounded HOF over the doc's
+    own distinct n-grams (docs are short; no shuffle, no Python)."""
+    tok = T.tokens(F.col(text_col))
+    n = F.size(tok)
+    nd = F.size(F.array_distinct(tok))
+
+    def top_frac(ng: int):
+        sh = T.shingles(tok, ng)
+        m = F.size(sh)
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(sh),
+                lambda x: F.size(F.filter(sh, lambda y: y == x)),
+            )
+        )
+        return F.when(m > 0, top.cast("double") / m).otherwise(F.lit(0.0))
+
+    adj = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(tok, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(tok, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    return df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, nd.cast("double") / n).otherwise(F.lit(0.0)), 6
+        ).alias("uniq_token_frac"),
+        F.round(
+            F.when(n > 1, adj.cast("double") / (n - 1)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("adj_repeat_frac"),
+        F.round(top_frac(2), 6).alias("top2gram_frac"),
+        F.round(top_frac(3), 6).alias("top3gram_frac"),
+    )
