@@ -1000,6 +1000,70 @@ FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
 # ------------------------------------------------------- generic relational
 
 
+_GAP_MINUTES = 30.0
+_GAP_US = int(_GAP_MINUTES * 60 * 1_000_000)
+
+
+def q_sessionize(spark, sf_dir):
+    """Per-user 30-min-gap sessionization (lag flag + running sum over
+    one exchange) vs the identical DuckDB window construction; the gap
+    compare runs on integer microseconds on both engines."""
+    from kiez_spark.operators import events as EV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return EV.sessionize(ev, gap_minutes=_GAP_MINUTES).select(
+        "event_id", "user_id", "session_idx", "is_session_start"
+    )
+
+
+_SESS_SQL = f"""
+sess AS (
+  WITH s AS (
+    SELECT event_id, user_id, epoch_us(ts) AS us,
+      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_GAP_US}
+           THEN 1 ELSE 0 END AS new_sess
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  SELECT event_id, user_id, us,
+    (sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING))::INT AS session_idx,
+    new_sess = 1 AS is_session_start
+  FROM s
+)
+"""
+
+SQL_SESSIONIZE = f"""
+WITH {_SESS_SQL}
+SELECT event_id, user_id, session_idx, is_session_start FROM sess
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """One row per session: event count, span micros, duration."""
+    from kiez_spark.operators import events as EV
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = EV.session_stats(ev, gap_minutes=_GAP_MINUTES)
+    return s.select(
+        "user_id", "session_idx", "n_events",
+        EV.ts_micros(F.col("start_ts")).alias("start_us"),
+        EV.ts_micros(F.col("end_ts")).alias("end_us"),
+        "duration_sec",
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH {_SESS_SQL}
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec
+FROM sess
+GROUP BY user_id, session_idx
+"""
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -1777,6 +1841,8 @@ QUERIES = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
