@@ -1391,6 +1391,39 @@ def q_online_neardup_flags(spark, sf_dir):
     return tbl.select("doc_id", "first_id").distinct()
 
 
+def q_events_hourly_stream(spark, sf_dir):
+    """Watermarked event-time windowed aggregation through a REAL
+    two-micro-batch file stream (append mode): only windows the final
+    watermark closed are emitted — the oracle applies the identical
+    cutoff (window end <= max event time; the input's ts is monotone in
+    event_id, so the id-split batches respect the 0s watermark and no
+    row is late-dropped)."""
+    from kiez_spark.streaming import windows as W
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    n_half = 5000
+    tbl = _stream_batches_to_memory(
+        spark,
+        "event_id bigint, ts timestamp_ntz, event_type string, value double",
+        [ev.filter(F.col("event_id") < n_half),
+         ev.filter(F.col("event_id") >= n_half)],
+        lambda s: W.hourly_agg_stream(s),
+    )
+    return tbl.select("hour", "event_type", "n", "sum_value")
+
+
+SQL_EVENTS_HOURLY_STREAM = """
+WITH mx AS (SELECT max(ts) AS m FROM events)
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events, mx
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= m
+GROUP BY 1, 2
+"""
+
+
 SQL_ONLINE_NEARDUP_FLAGS = f"""
 WITH {_SIGS2_SQL.replace("FROM docs2", "FROM docs2 WHERE doc_id % 100000 < 100")},
 grp AS (
@@ -1850,6 +1883,7 @@ QUERIES = {
     "decode_wav": (q_decode_wav, SQL_DECODE_WAV),
     "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
     "online_neardup_flags": (q_online_neardup_flags, SQL_ONLINE_NEARDUP_FLAGS),
+    "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY_STREAM),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
     "lsh_recall_report": (q_lsh_recall_report, None),
     "ivf_recall_report": (q_ivf_recall_report, None),
