@@ -1229,6 +1229,34 @@ FROM s
 """
 
 
+def q_quantize_embeddings(spark, sf_dir):
+    """int8-range scalar quantization codes (8x fewer bytes per
+    embedding on every shuffle) — integer-exact vs the DuckDB twin:
+    both engines run the identical f64 expression before the floor, so
+    codes match bit-for-bit."""
+    from kiez_spark.operators import quantize as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return Q.quantize_embeddings(emb).select("id", "qvec")
+
+
+SQL_QUANTIZE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vec FROM embeddings),
+ex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+mm AS (SELECT pos, min(val) AS mn, max(val) AS mx FROM ex GROUP BY pos),
+q AS (
+  SELECT e.id, e.pos,
+         CASE WHEN mm.mx > mm.mn
+              THEN least(255, floor((e.val - mm.mn) / (mm.mx - mm.mn) * 256))::INT
+              ELSE 0 END AS code
+  FROM ex e JOIN mm USING (pos)
+)
+SELECT id, list(code ORDER BY pos) AS qvec FROM q GROUP BY id
+"""
+
+
 def q_lsh_recall_report(spark, sf_dir):
     """Exact-vs-approximate agreement as a first-class result (the
     reference's faiss Flat-vs-ANN test semantic, test_faiss.py:22-46):
@@ -1884,6 +1912,7 @@ QUERIES = {
     "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
     "online_neardup_flags": (q_online_neardup_flags, SQL_ONLINE_NEARDUP_FLAGS),
     "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY_STREAM),
+    "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
     "lsh_recall_report": (q_lsh_recall_report, None),
     "ivf_recall_report": (q_ivf_recall_report, None),

@@ -165,3 +165,43 @@ def test_lsh_topk_equals_naive_form(spark, clustered_df):
         ).select("query_id", "cand_id", "rank")
         assert naive.exceptAll(fast).count() == 0, metric
         assert fast.exceptAll(naive).count() == 0, metric
+
+
+def test_int8_quantization_bound_and_recall(spark):
+    """Scalar int8 quantization: reconstruction error is within the
+    half-bucket bound (range/512) per dimension, and cosine top-5 on
+    dequantized vectors keeps >= 0.9 recall vs full-precision — the
+    8x-shuffle-bytes operating point."""
+    from kiez_spark.operators import quantize as Q
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bounds = Q.dim_min_max(emb)
+    dq = Q.dequantize(Q.quantize_embeddings(emb), bounds)
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).join(dq.select("id", F.col("vec").alias("dv")), "id")
+    max_err = v.select(
+        F.aggregate(
+            F.zip_with("v", "dv", lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    max_range = bounds.select(
+        F.aggregate(
+            F.zip_with("mx", "mn", lambda a, b: a - b),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+    ).first()[0]
+    # half-bucket bound with ulp slack: the code/center arithmetic is
+    # float, so the boundary case lands ~1e-8 over the exact bound
+    assert max_err <= max_range / 512 * (1 + 1e-4), (max_err, max_range / 512)
+
+    exact = SIM.cosine_topk(emb, k=5).select("query_id", "cand_id")
+    approx = K.knn_join_expr(dq, dq, 5, "cosine", exclude_self=True).select(
+        "query_id", "cand_id"
+    )
+    recall = approx.intersect(exact).count() / exact.count()
+    assert recall >= 0.9, f"int8 recall {recall:.3f}"
