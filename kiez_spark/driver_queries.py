@@ -1846,6 +1846,73 @@ FROM step1
 """
 
 
+def q_url_dedup_groups(spark, sf_dir):
+    """URL-level crawl-dup groups over deterministically seeded
+    citations: case-folded host + query/fragment/trailing-slash
+    stripping must land variant spellings in one group (docs 0 mod 3 and
+    1 mod 3 share 7 'example.com/p{k}' groups despite host case, a
+    trailing slash, and a ?utm param separating their raw URLs)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" see https://Example.COM/p"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("/"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.concat(
+                    F.lit(" https://example.com/p"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("?utm=1"),
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(" http://other.net/q"),
+                    (F.col("doc_id") % 5).cast("string"),
+                    F.lit("#frag"),
+                )
+            ),
+        ).alias("text"),
+    )
+    return CUR.url_dedup_groups(docs)
+
+
+SQL_URL_DEDUP_GROUPS = """
+WITH seeded AS (
+  SELECT doc_id,
+    text || CASE
+      WHEN doc_id % 3 = 0
+        THEN ' see https://Example.COM/p' || (doc_id % 7)::VARCHAR || '/'
+      WHEN doc_id % 3 = 1
+        THEN ' https://example.com/p' || (doc_id % 7)::VARCHAR || '?utm=1'
+      ELSE ' http://other.net/q' || (doc_id % 5)::VARCHAR || '#frag'
+    END AS text
+  FROM documents
+),
+urls AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(text, 'https?://\\S+')) AS url
+  FROM seeded
+),
+norm AS (
+  SELECT DISTINCT doc_id,
+    lower(regexp_extract(url, '^(https?://[^/?#]+)', 1)) ||
+    regexp_replace(regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS norm_url
+  FROM urls
+)
+SELECT norm_url, count(*)::BIGINT AS n_docs, min(doc_id) AS first_id
+FROM norm GROUP BY norm_url HAVING count(*) >= 2
+"""
+
+
 def q_sample_by_hash(spark, sf_dir):
     """Deterministic 20% corpus sample on the stable doc_id hash."""
     return CUR.sample_by_hash(
@@ -1901,6 +1968,7 @@ QUERIES = {
     "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
+    "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),

@@ -99,3 +99,47 @@ def quality_filter(
         "doc_id",
         reason.alias("reason"),
     ).withColumn("keep", F.col("reason") == "ok")
+
+
+# URL normalization: lowercase scheme+host, strip query/fragment, strip
+# trailing slashes — the match key for URL-level dedup of scraped corpora
+_URL_HOST_RE = r"^(https?://[^/?#]+)"
+_URL_PATH_RE = r"^https?://[^/?#]+([^?#]*)"
+
+
+def normalize_url(col):
+    """Column expr: canonical form of one URL string."""
+    host = F.lower(F.regexp_extract(col, _URL_HOST_RE, 1))
+    path = F.regexp_replace(
+        F.regexp_extract(col, _URL_PATH_RE, 1), r"/+$", ""
+    )
+    return F.concat(host, path)
+
+
+def url_dedup_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(norm_url, n_docs, first_id): URL-level duplicate groups — docs
+    citing the same canonical URL (case-folded host, query/fragment and
+    trailing slashes stripped) are crawl-dup candidates. One explode +
+    one map-side-combinable groupBy; first_id = min doc id is the
+    canonical representative (the survivor-election convention)."""
+    urls = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)
+            )
+        ).alias("url"),
+    )
+    return (
+        urls.select("doc_id", normalize_url(F.col("url")).alias("norm_url"))
+        .distinct()
+        .groupBy("norm_url")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
