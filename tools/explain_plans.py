@@ -198,6 +198,81 @@ def main() -> int:
         "incremental join must never cross-join the two corpora"
     )
 
+    # 9. sessionize: ONE hash exchange on user_id serves both window
+    #    frames (lag flag + running sum) — no extra shuffle, no global
+    #    sort, no SinglePartition.
+    from kiez_spark.operators import events as EV
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p9 = plan_of(EV.sessionize(ev))
+    ok &= check(
+        "sessionize: single user_id exchange for both windows",
+        p9,
+        ["hashpartitioning(user_id"],
+        dump,
+    )
+    n_ex9 = len(re.findall(r"\(\d+\) Exchange", p9))
+    assert n_ex9 == 1, f"sessionize must shuffle exactly once: {n_ex9}"
+    assert "Exchange SinglePartition" not in p9
+
+    # 10. salted blocked join: the salt-count table joins via BROADCAST
+    #     on both sides and the kernel cogroups on the salted block key.
+    from kiez_spark.operators import skew as SK
+
+    keyed = emb.withColumn(
+        "bkey", F.when(F.col("id") % 2 == 0, "hot").otherwise("cold")
+    )
+    qs_, xs_ = SK.salted_blocks(keyed, keyed, key="bkey", target_rows=64)
+    p10 = plan_of(
+        K.knn_join_blocked(qs_, xs_, 5, "euclidean", block_col="block")
+    )
+    ok &= check(
+        "salted join: broadcast salt counts + cogroup on block",
+        p10,
+        ["BroadcastHashJoin", "FlatMapCoGroupsInPandas",
+         "hashpartitioning(block"],
+        dump,
+    )
+
+    # 11. lsh_topk: distances stay inside the per-bucket cogroup kernel;
+    #     the global re-rank consumes the deduped (query, cand) bests
+    #     with rank pushdown.
+    from kiez_spark.operators import lsh as L
+
+    p11 = plan_of(L.lsh_topk(emb, emb, 5, "cosine", exclude_self=True))
+    ok &= check(
+        "lsh_topk: bucket cogroup kernel + rank pushdown",
+        p11,
+        ["FlatMapCoGroupsInPandas", "hashpartitioning(block",
+         "WindowGroupLimit"],
+        dump,
+    )
+
+    # 12. quantize: the 1-row bounds table reaches every row via a
+    #     broadcast NLJ — per-dim bounds must never shuffle the corpus.
+    from kiez_spark.operators import quantize as Q
+
+    embq = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p12 = plan_of(Q.quantize_embeddings(embq))
+    ok &= check(
+        "quantize: broadcast bounds",
+        p12,
+        ["BroadcastNestedLoopJoin"],
+        dump,
+    )
+
+    # 13. url dedup: map-side partial aggregation before the norm_url
+    #     exchange (the count shuffles pre-combined group rows, not docs).
+    from kiez_spark.operators import curation as CUR
+
+    p13 = plan_of(CUR.url_dedup_groups(docs))
+    ok &= check(
+        "url dedup: partial agg + norm_url exchange",
+        p13,
+        ["partial_count", "hashpartitioning(norm_url"],
+        dump,
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
