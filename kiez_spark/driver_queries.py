@@ -1846,6 +1846,33 @@ FROM step1
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test labels off the stable key
+    hash — the splits partition the corpus exactly and reproduce on any
+    cluster layout or engine."""
+    return CUR.hash_split(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_SPLIT_B = 1 << 20
+_SPLIT_C1 = int(0.8 * _SPLIT_B)
+_SPLIT_C2 = int(0.9 * _SPLIT_B)
+
+SQL_HASH_SPLIT = f"""
+WITH h AS (
+  SELECT doc_id,
+         ({_H_SQL.format(s="doc_id::VARCHAR || '_42'")}) % {_SPLIT_B} AS b
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN b < {_SPLIT_C1} THEN 'train'
+            WHEN b < {_SPLIT_C2} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
 def q_url_dedup_groups(spark, sf_dir):
     """URL-level crawl-dup groups over deterministically seeded
     citations: case-folded host + query/fragment/trailing-slash
@@ -1969,6 +1996,7 @@ QUERIES = {
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
+    "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),

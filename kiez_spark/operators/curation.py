@@ -143,3 +143,34 @@ def url_dedup_groups(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Append a deterministic ``split`` label (e.g. train/val/test) from
+    a stable hash of ``key_col``: the same row lands in the same split in
+    every run, on any cluster layout, and the splits partition the corpus
+    exactly (cumulative hash-bucket ranges). Weights are normalized; the
+    last split absorbs the rounding remainder. Pure predicate exprs —
+    no shuffle, pushes past projections."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative, sum > 0: {weights}")
+    total = float(sum(weights.values()))
+    bucket = T.token_hash(
+        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
+    ) % F.lit(_SAMPLE_BUCKETS)
+    names = list(weights)
+    cuts, acc = [], 0.0
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cuts.append(int(acc * _SAMPLE_BUCKETS))
+    expr = F.lit(names[-1])
+    for name, cut in zip(reversed(names[:-1]), reversed(cuts)):
+        expr = F.when(bucket < cut, name).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -306,3 +306,31 @@ def test_real_wav_decode(spark, docs):
                 [(1, bytearray(b"OggS not a wav"))], "doc_id bigint, blob binary"
             )
         ).collect()
+
+
+def test_hash_split_partitions_exactly(spark):
+    """hash_split: the labels partition the corpus exactly, reproduce
+    under repartitioning, and land near the requested ratios; the
+    'train' rows are exactly the sample_by_hash(rate=0.8) rows (same
+    hash, same cut — split nests with sampling)."""
+    from kiez_spark.operators import curation as CUR
+
+    big = spark.range(4000).select(F.col("id").alias("doc_id"))
+    s = CUR.hash_split(big, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.cnt for r in
+              s.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert sum(counts.values()) == 4000
+    assert abs(counts["train"] / 4000 - 0.8) < 0.03
+    assert abs(counts["val"] / 4000 - 0.1) < 0.03
+    # stable under physical layout
+    s2 = CUR.hash_split(big.repartition(13), {"train": 0.8, "val": 0.1,
+                                              "test": 0.1})
+    assert s.exceptAll(s2).count() == 0
+    # train == the 0.8 hash sample (identical bucket cut)
+    train = {r.doc_id for r in s.filter("split = 'train'").collect()}
+    sample = {r.doc_id for r in CUR.sample_by_hash(big, 0.8).collect()}
+    assert train == sample
+    with pytest.raises(ValueError):
+        CUR.hash_split(big, {})
+    with pytest.raises(ValueError):
+        CUR.hash_split(big, {"a": -1.0, "b": 2.0})
