@@ -1419,6 +1419,36 @@ def q_online_neardup_flags(spark, sf_dir):
     return tbl.select("doc_id", "first_id").distinct()
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment: a two-micro-batch document stream joins
+    each batch against the static token-count dimension (broadcast,
+    stateless) — output must equal the batch join."""
+    from kiez_spark.streaming import enrich as EN
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    static = TA.token_counts(_docs(spark, sf_dir)).select(
+        "doc_id", "n_tokens"
+    )
+    half = 250
+    tbl = _stream_batches_to_memory(
+        spark,
+        "doc_id bigint, text string",
+        [docs.filter(F.col("doc_id") < half),
+         docs.filter(F.col("doc_id") >= half)],
+        lambda s: EN.enrich_stream(s, static).select(
+            "doc_id", F.sha2("text", 256).alias("sha"), "n_tokens"
+        ),
+    )
+    return tbl.select("doc_id", "sha", "n_tokens")
+
+
+SQL_STREAM_ENRICH = f"""
+SELECT doc_id, sha256(text) AS sha,
+       len({_TOKENS_SQL.format(col="text")})::INT AS n_tokens
+FROM documents
+"""
+
+
 def q_events_hourly_stream(spark, sf_dir):
     """Watermarked event-time windowed aggregation through a REAL
     two-micro-batch file stream (append mode): only windows the final
@@ -2008,6 +2038,7 @@ QUERIES = {
     "dedup_stream": (q_dedup_stream, SQL_DEDUP_STREAM),
     "online_neardup_flags": (q_online_neardup_flags, SQL_ONLINE_NEARDUP_FLAGS),
     "events_hourly_stream": (q_events_hourly_stream, SQL_EVENTS_HOURLY_STREAM),
+    "stream_enrich": (q_stream_enrich, SQL_STREAM_ENRICH),
     "quantize_embeddings": (q_quantize_embeddings, SQL_QUANTIZE_EMBEDDINGS),
     "lsh_knn_cosine": (q_lsh_knn_cosine, None),
     "lsh_recall_report": (q_lsh_recall_report, None),
