@@ -165,7 +165,9 @@ def main(argv=None) -> int:
         )
 
     curated = run_stage("curated", build_curated)
-    curated.write.mode("overwrite").parquet(args.output)
+    # hive-partition by split: downstream training readers scan only
+    # their split's directory (partition pruning at the file listing)
+    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
     report["curated_docs"] = curated.count()
     report["split_counts"] = {
         r.split: r.cnt
