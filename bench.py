@@ -324,6 +324,13 @@ def main():
         if mid_pairs_n > 0:
             m_lo_walls, m_hi_walls = [], []
             for i in range(mid_pairs_n):
+                # the previous 16-worker run saturates past the
+                # hypervisor-throttle threshold and its usage-accounting
+                # tail inflates the NEXT measurement (documented in
+                # BASELINE.md; the same reason the mid block runs after
+                # the suite) — let the accounting drain between pairs
+                if i:
+                    time.sleep(20)
                 t_mlo, _ = timed_flagship(mid_lo)
                 t_mhi, _ = timed_flagship(mid_hi)
                 m_lo_walls.append(round(t_mlo, 3))
