@@ -1767,6 +1767,51 @@ FROM scored WHERE term_rank <= 3
 """
 
 
+def q_corpus_stats(spark, sf_dir):
+    """One-row corpus monitoring summary (counts, token totals, exact
+    dup rate, mean length) — every value integer-derived, so 6-dp
+    rounding is engine-exact."""
+    return TA.corpus_stats(_docs(spark, sf_dir))
+
+
+SQL_CORPUS_STATS = f"""
+WITH b AS (
+  SELECT doc_id, len({_TOKENS_SQL.format(col="text")})::BIGINT AS n_tok,
+         length(text)::BIGINT AS n_chars, sha256(text) AS sha
+  FROM documents
+)
+SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
+       sum(n_chars) AS total_chars,
+       count(DISTINCT sha) AS distinct_docs,
+       count(*) - count(DISTINCT sha) AS exact_dup_docs,
+       round(sum(n_tok) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens
+FROM b
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Top-50 vocabulary by document frequency, (df desc, token)
+    tie-break — TakeOrderedAndProject, never a full-vocab global sort."""
+    return TA.vocab_topk(_docs(spark, sf_dir), top_k=50)
+
+
+SQL_VOCAB_TOPK = f"""
+WITH terms AS (
+  SELECT DISTINCT doc_id, unnest({_TOKENS_SQL.format(col="text")}) AS token
+  FROM documents
+),
+dfreq AS (
+  SELECT token, count(*)::BIGINT AS df_docs FROM terms GROUP BY token
+),
+ranked AS (
+  SELECT token, df_docs,
+         row_number() OVER (ORDER BY df_docs DESC, token) AS r
+  FROM dfreq
+)
+SELECT token, df_docs, r::INT AS rank FROM ranked WHERE r <= 50
+"""
+
+
 def q_repetition_features(spark, sf_dir):
     """Gopher-style repetition signals (uniq-token / adjacent-repeat /
     top-n-gram fractions) vs DuckDB list-lambda twins."""
@@ -2023,6 +2068,8 @@ QUERIES = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
     "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),

@@ -188,3 +188,56 @@ def repetition_features(
         F.round(top_frac(2), 6).alias("top2gram_frac"),
         F.round(top_frac(3), 6).alias("top3gram_frac"),
     )
+
+
+def corpus_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ONE summary row for corpus monitoring dashboards: doc count,
+    token totals, exact-duplicate rate (distinct sha256), and mean doc
+    length. All map-side-combinable scalar aggregates — one job, no
+    wide shuffle of document rows."""
+    tok = T.tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.size(tok).cast("bigint").alias("n_tok"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        F.sha2(F.col(text_col), 256).alias("sha"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("sha").alias("distinct_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("sha")).alias("exact_dup_docs"),
+        F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias("avg_tokens"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    top_k: int = 50,
+) -> DataFrame:
+    """(token, df_docs, rank): the corpus's top-k vocabulary by DOCUMENT
+    frequency with a (df desc, token asc) deterministic tie-break.
+    explode + distinct + one combinable groupBy; the global top-k runs
+    as orderBy().limit() — Catalyst plans TakeOrderedAndProject, a
+    distributed per-partition top-k merge, NOT a single-partition sort
+    of the whole vocabulary (which is web-corpus-sized at scale). The
+    rank window then runs over only the k surviving rows."""
+    from pyspark.sql import Window
+
+    tok = T.tokens(F.col(text_col))
+    terms = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.explode(F.array_distinct(tok)).alias("token"),
+    )
+    dfreq = terms.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs")
+    )
+    order = [F.col("df_docs").desc(), F.col("token").asc()]
+    top = dfreq.orderBy(*order).limit(top_k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "df_docs", "rank"
+    )
