@@ -273,6 +273,17 @@ def main() -> int:
         dump,
     )
 
+    # 14. vocab top-k: global top-k of the vocabulary table must plan as
+    #     TakeOrderedAndProject (distributed per-partition top-k merge),
+    #     never a single-partition sort of the whole vocabulary.
+    p14 = plan_of(TA.vocab_topk(docs, top_k=50))
+    ok &= check(
+        "vocab_topk: TakeOrderedAndProject",
+        p14,
+        ["TakeOrderedAndProject"],
+        dump,
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
