@@ -320,18 +320,13 @@ def main():
         # 0.778 from only 2 pairs while the pinned 3-pair runs measured
         # >= 0.81 — this pair crosses the hypervisor-throttle threshold,
         # so min-over-3 is needed to recover the engine's number
+        # UNCONDITIONAL pair count: an adaptive keep-sampling-until-the-
+        # bar-clears rule is optional stopping and would bias the
+        # recorded efficiency upward; the count is fixed up front
         mid_pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_MID_PAIRS", "3"))
-        # the min-per-level estimator only improves (toward the noise-free
-        # wall) with more samples, so on a stormy host keep sampling past
-        # the base 3 pairs, up to MAX, stopping once the estimate clears
-        # the 0.8 bar — extra pairs refine the estimate, never bias it
-        mid_pairs_max = int(
-            os.environ.get("SPARK_GRAFT_SCALE_MID_MAX_PAIRS", "5")
-        )
         if mid_pairs_n > 0:
             m_lo_walls, m_hi_walls = [], []
-            i = 0
-            while i < max(mid_pairs_n, 1):
+            for i in range(mid_pairs_n):
                 # the previous 16-worker run saturates past the
                 # hypervisor-throttle threshold and its usage-accounting
                 # tail inflates the NEXT measurement (documented in
@@ -349,12 +344,6 @@ def main():
                     f" (eff {(t_mlo/t_mhi)/(mid_hi/mid_lo):.2f})",
                     file=sys.stderr,
                 )
-                i += 1
-                cur_eff = (min(m_lo_walls) / min(m_hi_walls)) / (
-                    mid_hi / mid_lo
-                )
-                if i >= mid_pairs_n and cur_eff < 0.8 and i < mid_pairs_max:
-                    mid_pairs_n = i + 1  # storm: take one more sample
             t_mlo, t_mhi = min(m_lo_walls), min(m_hi_walls)
             m_eff = (t_mlo / t_mhi) / (mid_hi / mid_lo)
             scaling["mid_pair"] = {

@@ -83,7 +83,13 @@ def main(argv=None) -> int:
     )
 
     def run_stage(name, build):
-        return ckpt.stage(name, build) if ckpt else build()
+        if ckpt:
+            return ckpt.stage(name, build)
+        # un-checkpointed runs: each stage feeds several report actions
+        # (counts, histograms, the final write) — cut the lineage once,
+        # lazily, so the scrub/dedup plans run one time instead of per
+        # action (the same guard link_files applies to its embeddings)
+        return build().localCheckpoint(eager=False)
 
     report: dict = {"input_docs": docs.count()}
 

@@ -1313,24 +1313,13 @@ def q_mp_empiric(spark, sf_dir):
 
 def _write_stream_batches(batches, d: str) -> None:
     """Write each batch as ONE parquet file under ``d`` with explicitly
-    spaced mtimes (os.utime, 10s apart) so the file source's
-    oldest-first ordering is deterministic — no sleeping between writes
-    (the old mtime-by-wall-clock scheme cost 1.1s per batch)."""
-    import glob
-    import os
-    import shutil
-    import time
+    spaced mtimes so the file source's oldest-first ordering is
+    deterministic — no sleeping between writes (the old
+    mtime-by-wall-clock scheme cost 1.1s per batch)."""
+    from kiez_spark.streaming.files import write_batch_file
 
-    base = time.time() - 10_000.0
     for i, b in enumerate(batches):
-        sub = os.path.join(d, f"_stage{i}")
-        b.coalesce(1).write.mode("overwrite").parquet(sub)
-        (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
-        dst = os.path.join(d, f"batch_{i:05d}.parquet")
-        os.replace(part, dst)
-        shutil.rmtree(sub)
-        t = base + 10.0 * i
-        os.utime(dst, (t, t))
+        write_batch_file(b, d, i)
 
 
 def _stream_batches_to_memory(spark, schema: str, batches, build):

@@ -26,6 +26,17 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _SAMPLE_BUCKETS = 1 << 20
 
 
+def _hash_bucket(key_col: str, seed: int):
+    """The shared sampling/splitting bucket: a stable hash of
+    (key, seed) reduced to [0, 2^20). sample_by_hash and hash_split MUST
+    use this same expression — that identity is what makes the train
+    split of hash_split(w) equal the sample_by_hash(rate=w) row set
+    (asserted in tests/test_dedup_text.py)."""
+    return T.token_hash(
+        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
+    ) % F.lit(_SAMPLE_BUCKETS)
+
+
 def scrub_text(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -63,10 +74,7 @@ def sample_by_hash(
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     cut = int(rate * _SAMPLE_BUCKETS)
-    bucket = T.token_hash(
-        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
-    ) % F.lit(_SAMPLE_BUCKETS)
-    return df.filter(bucket < F.lit(cut))
+    return df.filter(_hash_bucket(key_col, seed) < F.lit(cut))
 
 
 def quality_filter(
@@ -162,9 +170,7 @@ def hash_split(
     if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
         raise ValueError(f"weights must be non-negative, sum > 0: {weights}")
     total = float(sum(weights.values()))
-    bucket = T.token_hash(
-        F.concat_ws("_", F.col(key_col).cast("string"), F.lit(str(seed)))
-    ) % F.lit(_SAMPLE_BUCKETS)
+    bucket = _hash_bucket(key_col, seed)
     names = list(weights)
     cuts, acc = [], 0.0
     for name in names[:-1]:

@@ -75,17 +75,11 @@ def test_banded_keys_match_batch_banding(spark):
 
 def _append_batch(spark, d, i, rows):
     """One parquet file == one micro-batch (maxFilesPerTrigger=1)."""
-    import glob
-    import os
-    import shutil
+    from kiez_spark.streaming.files import write_batch_file
 
-    sub = os.path.join(d, f"_stage{i}")
-    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
-        1
-    ).write.mode("overwrite").parquet(sub)
-    (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
-    os.replace(part, os.path.join(d, f"batch_{i:05d}.parquet"))
-    shutil.rmtree(sub)
+    write_batch_file(
+        spark.createDataFrame(rows, "doc_id bigint, text string"), d, i
+    )
 
 
 def _processed_rows(q):

@@ -74,26 +74,22 @@ def test_watermark_drops_late_rows_and_holds_open_window(spark, tmp_path):
     watermark passes their end; once a window's state is evicted, a
     later row for it is dropped (never re-emits), and the window holding
     the stream's last event stays open."""
-    import glob
-    import os
-    import shutil
     from datetime import datetime
 
     from kiez_spark.streaming import windows as W
+    from kiez_spark.streaming.files import write_batch_file
 
     d = str(tmp_path / "in")
-    os.makedirs(d)
 
     def write_batch(i, rows):
-        sub = os.path.join(d, f"_s{i}")
-        spark.createDataFrame(
-            rows, "event_id bigint, ts timestamp, event_type string, value double"
-        ).coalesce(1).write.mode("overwrite").parquet(sub)
-        (part,) = glob.glob(os.path.join(sub, "part-*.parquet"))
-        os.replace(part, os.path.join(d, f"b{i:03d}.parquet"))
-        shutil.rmtree(sub)
-        t = 1700000000 + 10 * i
-        os.utime(os.path.join(d, f"b{i:03d}.parquet"), (t, t))
+        write_batch_file(
+            spark.createDataFrame(
+                rows,
+                "event_id bigint, ts timestamp, event_type string, value double",
+            ),
+            d,
+            i,
+        )
 
     ts = lambda h, m: datetime(2024, 1, 1, h, m)  # noqa: E731
     write_batch(0, [(1, ts(10, 5), "a", 1.0), (2, ts(11, 30), "a", 1.0)])
