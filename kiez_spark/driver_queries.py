@@ -1503,9 +1503,35 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_frame_sample(spark, sf_dir):
+    """Equally-spaced byte-window 'frame' sampling over the blob column;
+    the window positions and lengths are pure integer arithmetic, so the
+    kernel's output is fully oracle-checkable (window offsets + sizes
+    against DuckDB integer math on the same utf-8 byte lengths)."""
     blobs = M.pack_blobs(_docs(spark, sf_dir))
     frames = M.frame_sample(blobs, n_frames=4)
     return frames.select("doc_id", "frame_idx", F.length("frame").alias("n_bytes"))
+
+
+# textual twin of multimodal.frame_sample's kernel arithmetic:
+# step = max(1, (len - 64) // 3); lo_i = min(i*step, max(0, len-1));
+# n_bytes_i = min(64, len - lo_i); rows only for len > 0
+SQL_FRAME_SAMPLE = """
+WITH b AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS len FROM documents
+),
+s AS (
+  SELECT doc_id, len, greatest(1, (len - 64) // 3) AS step
+  FROM b WHERE len > 0
+),
+f AS (
+  SELECT doc_id, i AS frame_idx,
+         least(i * step, greatest(0, len - 1)) AS lo, len
+  FROM s, unnest([0, 1, 2, 3]) AS t(i)
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       least(64, len - lo)::BIGINT AS n_bytes
+FROM f
+"""
 
 
 def q_linkage_f1_lsh(spark, sf_dir):
@@ -2080,7 +2106,7 @@ QUERIES = {
     "lsh_recall_report": (q_lsh_recall_report, None),
     "ivf_recall_report": (q_ivf_recall_report, None),
     "ivf_topk": (q_ivf_topk, None),
-    "frame_sample": (q_frame_sample, None),
+    "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
     "linkage_f1": (q_linkage_f1, None),
     "alignment_f1": (q_alignment_f1, None),
     "alignment_hits": (q_alignment_hits, None),
