@@ -113,14 +113,24 @@ def online_neardup_flags(
             first, last_seen = state.get
             if ttl_ms is not None and now - last_seen > ttl_ms:
                 first = None  # stale state: re-admit as a fresh first
-        out_docs, out_first = [], []
-        for pdf in pdfs:
-            for did in sorted(int(x) for x in pdf["doc_id"]):
-                if first is None:
-                    first = did
-                elif did != first:
-                    out_docs.append(did)
-                    out_first.append(first)
+        # vectorized form of the per-row admit loop: within one
+        # invocation `first` can only ever become the smallest id (ids
+        # are processed in sorted order and first never changes once
+        # set), so: no prior state -> min(ids) is admitted and the rest
+        # flag; prior state -> every id != first flags.
+        import numpy as np  # noqa: PLC0415
+
+        chunks = [pdf["doc_id"].to_numpy() for pdf in pdfs if len(pdf)]
+        ids = (
+            np.sort(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        if first is None and len(ids):
+            first = int(ids[0])
+        flagged = ids[ids != first] if first is not None else ids[:0]
+        out_docs = [int(x) for x in flagged]
+        out_first = [first] * len(out_docs)
         state.update((first, now))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
