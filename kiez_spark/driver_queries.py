@@ -229,6 +229,41 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_minkowski3(spark, sf_dir):
+    """General minkowski-p (p=3) through the pandas kernel — closes the
+    oracle gap on the last metric family (the reference's sklearn
+    backend accepts any p, sklearn_nearest_neighbors.py:51-101).
+    Distances hash-match only if the p-th-root arithmetic is identical:
+    both engines compute pow(sum(pow(abs(d), 3)), 1/3) in f64."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(
+        emb, emb, TOP_K, "minkowski_3", exclude_self=True
+    )
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_MINKOWSKI3 = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         pow(sum(pow(abs(a.val - b.val), 3)), 1.0 / 3) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted blocked kNN must EQUAL the plain per-key kNN — the
     oracle is the UNSALTED SQL, so exact equality (the whole point of
@@ -2051,6 +2086,7 @@ QUERIES = {
     "knn_exact_expr_tier": (q_knn_euclidean_expr, SQL_KNN_EUCLIDEAN),
     "knn_exact_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
+    "knn_exact_minkowski3": (q_knn_minkowski3, SQL_KNN_MINKOWSKI3),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
