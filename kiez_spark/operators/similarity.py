@@ -106,6 +106,83 @@ def train_centroids(
     return cent
 
 
+def assign_cells(
+    base: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    n_assign: int = 1,
+) -> DataFrame:
+    """(id, cell): nearest-centroid(s) assignment of (id, vec) rows
+    against a trained (cell_id, cvec) table — ONE broadcast pass."""
+    cent = centroids.select(
+        F.col("cell_id").alias("id"), F.col("cvec").alias("vec")
+    )
+    return (
+        K.knn_join_expr(base, cent, k=n_assign, metric=metric,
+                        exclude_self=False)
+        .select(F.col("query_id").alias("id"), F.col("cand_id").alias("cell"))
+    )
+
+
+def ivf_append(
+    index_assign: DataFrame,
+    new_emb: DataFrame,
+    centroids: DataFrame,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_assign: int = 1,
+) -> DataFrame:
+    """Incremental IVF: extend an existing (id, cell) assignment table
+    with a new embedding batch WITHOUT retraining the coarse quantizer —
+    the daily-increment pattern (same shape as the dedup ladder's
+    minhash_lsh_join): the corpus-side training cost is paid once per
+    index version, each increment pays one broadcast assignment pass
+    over its own rows only. Returns the unioned (id, cell) table; query
+    it with ivf_query below."""
+    new_base = new_emb.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return index_assign.unionByName(
+        assign_cells(new_base, centroids, metric, n_assign)
+    )
+
+
+def ivf_query(
+    queries: DataFrame,
+    corpus: DataFrame,
+    assign: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k of ``queries`` against an (id, cell)-assigned ``corpus``
+    using a trained centroid table: probe nprobe cells per query, exact
+    rerank inside probed cells via the blocked kernel."""
+
+    def base_of(df):
+        return df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+
+    qb, xb = base_of(queries), base_of(corpus)
+    probes = assign_cells(qb, centroids, metric, n_assign=nprobe)
+    q = qb.join(probes, "id").select("id", "vec", F.col("cell").alias("block"))
+    x = xb.join(assign, "id").select("id", "vec", F.col("cell").alias("block"))
+    cands = K.knn_join_blocked(
+        q, x, k=k, metric=metric, block_col="block",
+        exclude_self=exclude_self,
+    )
+    best = cands.groupBy("query_id", "cand_id").agg(F.min("dist").alias("dist"))
+    return K.topk(best, k)
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 10,

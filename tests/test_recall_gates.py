@@ -205,3 +205,39 @@ def test_int8_quantization_bound_and_recall(spark):
     )
     recall = approx.intersect(exact).count() / exact.count()
     assert recall >= 0.9, f"int8 recall {recall:.3f}"
+
+
+def test_ivf_append_matches_full_build(spark):
+    """Incremental IVF: train the coarse quantizer on the first 60% of
+    the corpus, append the rest WITHOUT retraining (one broadcast
+    assignment pass), and query the stitched index — recall must stay
+    within 0.05 of the full-rebuild index at the same (cells, nprobe)."""
+    from pyspark.sql import functions as F2
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    part1 = emb.filter(F2.col("vec_id") < 300)
+    part2 = emb.filter(F2.col("vec_id") >= 300)
+
+    exact = SIM.cosine_topk(emb, k=5).select("query_id", "cand_id").cache()
+    total = exact.count()
+
+    def recall_of(approx):
+        return (
+            approx.select("query_id", "cand_id").intersect(exact).count()
+            / total
+        )
+
+    base1 = part1.select(
+        F2.col("vec_id").cast("bigint").alias("id"),
+        F2.col("embedding").cast("array<double>").alias("vec"),
+    )
+    cent = SIM.train_centroids(base1, n_cells=12, metric="cosine").cache()
+    assign1 = SIM.assign_cells(base1, cent)
+    stitched = SIM.ivf_append(assign1, part2, cent)
+    r_inc = recall_of(
+        SIM.ivf_query(emb, emb, stitched, cent, k=5, nprobe=4,
+                      exclude_self=True)
+    )
+    r_full = recall_of(SIM.ivf_topk(emb, k=5, n_cells=12, nprobe=4))
+    assert r_inc >= r_full - 0.05, (r_inc, r_full)
+    assert r_inc >= 0.5, r_inc
