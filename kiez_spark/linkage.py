@@ -164,6 +164,13 @@ def align_files(
     max_dist: float | None = None,
     mutual: bool = True,
     checkpoint_dir: str | None = None,
+    # same calibrated euclidean-LSH defaults as link_files (W must
+    # exceed the near-pair distance scale or the AND-ed bits never
+    # collide — the uncalibrated PipelineConfig defaults silently
+    # produced ZERO cross-space candidates on this corpus)
+    lsh_tables: int = 12,
+    lsh_bits: int = 6,
+    lsh_bucket_width: float = 32.0,
 ) -> AlignmentResult:
     """Dual-space entity ALIGNMENT — the reference's headline use case
     (/root/reference/kiez/kiez.py:19: hubness-reduced kNN "to compare
@@ -190,6 +197,8 @@ def align_files(
             PipelineConfig(
                 n_candidates=n_candidates, k=k, metric=metric,
                 hubness=hubness, tier=tier,
+                lsh_tables=lsh_tables, lsh_bits=lsh_bits,
+                lsh_bucket_width=lsh_bucket_width,
             )
         )
         eng.fit(a.select("id", "vec"), b.select("id", "vec"))

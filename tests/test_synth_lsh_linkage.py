@@ -226,3 +226,23 @@ def test_alignment_sha_invariant_nonvacuous(spark, tmp_path):
     assert ck.sha_invariant_ok(groups=groups)
     # cross-corpus grouping must detect the content difference
     assert not ck.sha_invariant_ok(groups=[["src_embeddings", "tgt_embeddings"]])
+
+
+def test_alignment_lsh_tier_f1(spark):
+    """Dual-space alignment through the LSH blocking tier (both kNN
+    directions approximate): mutual-best CSLS F1 >= 0.95. Guards the
+    align_files LSH knobs — the uncalibrated PipelineConfig defaults
+    (W=2.0) produced ZERO cross-space candidates on this corpus."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+    from kiez_spark.operators import evaluate as E
+
+    src = synth.repos_files(spark, n=800)
+    tgt = synth.mutated_copy(src)
+    res = align_files(spark, src, tgt, hubness="csls", tier="lsh",
+                      max_dist=12.0)
+    f1 = E.pairwise_f1(
+        res.matches.select("src_id", "tgt_id"), synth.gold_alignment(src),
+        pred_cols=("src_id", "tgt_id"),
+    ).first()
+    assert f1.f1 >= 0.95, (f1.f1, f1.tp, f1.fp, f1.fn)
