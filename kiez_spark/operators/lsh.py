@@ -146,6 +146,42 @@ def lsh_candidates(
     )
 
 
+def estimate_bucket_width(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    sample: int = 256,
+    seed: int = 42,
+) -> float:
+    """Data-driven bucket width for the bucketed-projection (euclidean
+    family) LSH tier: W = 2 x median pairwise euclidean distance of a
+    deterministic hash-ordered sample. A W far below the corpus's
+    distance scale makes the AND-ed bucket bits collide with ~0
+    probability — approximate queries then silently return (near) empty
+    results; 2x the median keeps near pairs (<< median by definition)
+    colliding per bit with ~0.85+ probability while far pairs still
+    split. Cost: one TakeOrdered of `sample` rows + an O(sample^2)
+    driver-side distance matrix (256 -> 32k pairs, microseconds)."""
+    rows = (
+        df.select(
+            F.col(id_col).cast("bigint").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("_h", F.xxhash64(F.col("id") + F.lit(int(seed))))
+        .orderBy("_h")
+        .limit(sample)
+        .select("vec")
+        .collect()
+    )
+    X = np.array([r.vec for r in rows], dtype=np.float64)
+    if len(X) < 2:
+        return 2.0
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    iu = np.triu_indices(len(X), 1)
+    med = float(np.median(np.sqrt(np.maximum(d2[iu], 0.0))))
+    return max(2.0 * med, 1e-9)
+
+
 def lsh_topk(
     queries: DataFrame,
     index: DataFrame,

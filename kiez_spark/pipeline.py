@@ -43,10 +43,19 @@ class PipelineConfig:
     id_col: str = "id"
     vec_col: str = "vec"
     # LSH knobs (approximate tier): number of hash tables (OR-amplified)
-    # and hyperplanes per table (AND-amplified) / bucket width.
-    lsh_tables: int = 8
-    lsh_bits: int = 12
-    lsh_bucket_width: float = 2.0
+    # and hyperplanes per table (AND-amplified) / bucket width. Bucket
+    # width None = AUTO-CALIBRATE from the indexed data (2 x the median
+    # pairwise distance of a deterministic sample, lsh.py
+    # estimate_bucket_width): a fixed default far below the corpus's
+    # distance scale silently yields zero collisions — approximate
+    # queries then return empty results with no error.
+    # tables/bits None = per-metric-family defaults: the sign-bit
+    # (cosine) family concentrates well at 8 tables x 12 bits, while the
+    # bucketed (euclidean) family needs shallower ANDs (12 tables x
+    # 6 bits — the link_files calibration) or recall collapses.
+    lsh_tables: int | None = None
+    lsh_bits: int | None = None
+    lsh_bucket_width: float | None = None
     lsh_seed: int = 42
     extra: dict = field(default_factory=dict)
 
@@ -151,14 +160,35 @@ class HubnessKnn:
         if c.tier == "lsh":
             from kiez_spark.operators import lsh as L
 
+            is_cos = c.metric in ("cosine", "cos")
+            n_tables = c.lsh_tables if c.lsh_tables is not None else (
+                8 if is_cos else 12
+            )
+            n_bits = c.lsh_bits if c.lsh_bits is not None else (
+                12 if is_cos else 6
+            )
+            bw = c.lsh_bucket_width
+            if bw is None and not is_cos:
+                # auto-calibrate once per fit (cached; the dual
+                # directions share the corpus distance scale): a width
+                # far off that scale silently yields zero bucket
+                # collisions. The sign-bit (cosine) family has no width.
+                bw = self._lsh_bw_cache.get(self._fit_token)
+                if bw is None:
+                    bw = L.estimate_bucket_width(
+                        index, id_col=c.id_col, vec_col=c.vec_col,
+                        seed=c.lsh_seed,
+                    )
+                    self._lsh_bw_cache = {self._fit_token: bw}
             # bucket-local kernel top-k: provably identical output to
             # topk(lsh_candidates(...), k) but the collision rows never
             # leave their bucket (see lsh.lsh_topk docstring)
             return L.lsh_topk(
                 queries, index, k, c.metric,
                 id_col=c.id_col, vec_col=c.vec_col,
-                n_tables=c.lsh_tables, n_bits=c.lsh_bits,
-                bucket_width=c.lsh_bucket_width, seed=c.lsh_seed,
+                n_tables=n_tables, n_bits=n_bits,
+                bucket_width=bw if bw is not None else 2.0,
+                seed=c.lsh_seed,
                 exclude_self=exclude_self,
             )
         raise AssertionError(c.tier)
@@ -172,6 +202,7 @@ class HubnessKnn:
         self.target_ = source if target is None else target
         self._index_np: dict = {}
         self._fit_token = uuid.uuid4().hex[:12]
+        self._lsh_bw_cache: dict = {}
         return self
 
     def release(self) -> None:
