@@ -730,6 +730,65 @@ FROM final WHERE r <= {TOP_K}
 """
 
 
+def q_hubness_ls_dual(spark, sf_dir):
+    """Dual-source LocalScaling (same split as the dual CSLS query):
+    r_test = max forward candidate distance per source query, r_train =
+    max reverse candidate distance per target entity — the second
+    transform certified end-to-end in the bidirectional-fit regime."""
+    emb = _emb(spark, sf_dir)
+    src = emb.filter(F.col("id") % 2 == 0)
+    tgt = emb.filter(F.col("id") % 2 == 1)
+    eng = HubnessKnn(
+        PipelineConfig(n_candidates=N_CAND, k=TOP_K, metric="euclidean",
+                       hubness="ls", tier="pandas")
+    )
+    eng.fit(src.select("id", "vec"), tgt.select("id", "vec"))
+    nn = eng.kneighbors(TOP_K)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_HUBNESS_LS_DUAL = f"""
+WITH {_V_SQL},
+src AS (SELECT * FROM v WHERE id % 2 = 0),
+tgt AS (SELECT * FROM v WHERE id % 2 = 1),
+fwd_pairs AS (
+  SELECT s.id AS qid, t.id AS cid, list_distance(s.vec, t.vec) AS d
+  FROM src s, tgt t
+),
+fwd AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM fwd_pairs
+),
+cand AS (SELECT qid, cid, d FROM fwd WHERE r <= {N_CAND}),
+rev_pairs AS (
+  SELECT t.id AS qid, s.id AS cid, list_distance(t.vec, s.vec) AS d
+  FROM tgt t, src s
+),
+rev AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM rev_pairs
+),
+rcand AS (SELECT qid, cid, d FROM rev WHERE r <= {N_CAND}),
+r_test AS (SELECT qid, max(d) AS s FROM cand GROUP BY qid),
+r_train AS (SELECT qid AS tid, max(d) AS s FROM rcand GROUP BY qid),
+scored AS (
+  SELECT c.qid, c.cid, 1.0 - exp(-(c.d * c.d) / (q.s * t.s)) AS d2
+  FROM cand c JOIN r_test q ON c.qid = q.qid JOIN r_train t ON c.cid = t.tid
+),
+final AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM scored
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d2, 6) AS dist
+FROM final WHERE r <= {TOP_K}
+"""
+
+
 # ------------------------------------------------------------- dedup / text
 
 
@@ -2091,6 +2150,7 @@ QUERIES = {
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
     "hubness_ls": (_hubness_query("ls"), SQL_HUBNESS_LS),
+    "hubness_ls_dual": (q_hubness_ls_dual, SQL_HUBNESS_LS_DUAL),
     "hubness_nicdm": (_hubness_query("nicdm"), SQL_HUBNESS_NICDM),
     "hubness_mp_normal": (_hubness_query("mp_normal"), SQL_HUBNESS_MP_NORMAL),
     "hubness_dsl": (_hubness_query("dsl"), SQL_HUBNESS_DSL),
