@@ -789,6 +789,79 @@ FROM final WHERE r <= {TOP_K}
 """
 
 
+def _dual_query(method: str):
+    def fn(spark, sf_dir):
+        emb = _emb(spark, sf_dir)
+        src = emb.filter(F.col("id") % 2 == 0)
+        tgt = emb.filter(F.col("id") % 2 == 1)
+        eng = HubnessKnn(
+            PipelineConfig(n_candidates=N_CAND, k=TOP_K, metric="euclidean",
+                           hubness=method, tier="pandas")
+        )
+        eng.fit(src.select("id", "vec"), tgt.select("id", "vec"))
+        return eng.kneighbors(TOP_K).select(
+            "query_id", "cand_id", F.col("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+
+    return fn
+
+
+def _dual_sql(stat: str, score: str, extra_stats: str = "") -> str:
+    """Dual-source transform skeleton: forward/reverse exact kNN over
+    the even/odd split, per-side candidate statistics, rescore, re-rank
+    — the textual twin of the bidirectional HubnessKnn flow."""
+    return f"""
+WITH {_V_SQL},
+src AS (SELECT * FROM v WHERE id % 2 = 0),
+tgt AS (SELECT * FROM v WHERE id % 2 = 1),
+fwd_pairs AS (
+  SELECT s.id AS qid, t.id AS cid, list_distance(s.vec, t.vec) AS d
+  FROM src s, tgt t
+),
+fwd AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM fwd_pairs
+),
+cand AS (SELECT qid, cid, d FROM fwd WHERE r <= {N_CAND}),
+rev_pairs AS (
+  SELECT t.id AS qid, s.id AS cid, list_distance(t.vec, s.vec) AS d
+  FROM tgt t, src s
+),
+rev AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM rev_pairs
+),
+rcand AS (SELECT qid, cid, d FROM rev WHERE r <= {N_CAND}),
+r_test AS (SELECT qid, {stat} FROM cand GROUP BY qid),
+r_train AS (SELECT qid AS tid, {stat} FROM rcand GROUP BY qid),
+scored AS (
+  SELECT c.qid, c.cid, {score} AS d2
+  FROM cand c JOIN r_test q ON c.qid = q.qid JOIN r_train t ON c.cid = t.tid
+),
+final AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM scored
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d2, 6) AS dist
+FROM final WHERE r <= {TOP_K}
+"""
+
+
+SQL_HUBNESS_NICDM_DUAL = _dual_sql(
+    "avg(d) AS s", "c.d / sqrt(q.s * t.s)"
+)
+
+SQL_HUBNESS_MP_NORMAL_DUAL = _dual_sql(
+    "avg(d) AS mu, stddev_pop(d) AS sd",
+    "1.0 - " + _sf_sql("c.d", "q.mu", "q.sd") + " * "
+    + _sf_sql("c.d", "t.mu", "t.sd"),
+)
+
+
 # ------------------------------------------------------------- dedup / text
 
 
@@ -2151,6 +2224,8 @@ QUERIES = {
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
     "hubness_ls": (_hubness_query("ls"), SQL_HUBNESS_LS),
     "hubness_ls_dual": (q_hubness_ls_dual, SQL_HUBNESS_LS_DUAL),
+    "hubness_nicdm_dual": (_dual_query("nicdm"), SQL_HUBNESS_NICDM_DUAL),
+    "hubness_mp_normal_dual": (_dual_query("mp_normal"), SQL_HUBNESS_MP_NORMAL_DUAL),
     "hubness_nicdm": (_hubness_query("nicdm"), SQL_HUBNESS_NICDM),
     "hubness_mp_normal": (_hubness_query("mp_normal"), SQL_HUBNESS_MP_NORMAL),
     "hubness_dsl": (_hubness_query("dsl"), SQL_HUBNESS_DSL),
