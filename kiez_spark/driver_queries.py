@@ -617,8 +617,14 @@ def q_hits_at_k(spark, sf_dir):
         .groupBy("src_id")
         .agg(F.min("oid").alias("tgt_id"))
     )
+    # hash an exact integer-division micro-ratio, not a rounded double
+    # (1-ulp cross-engine hazard; see corpus_stats)
     return E.hits_at_k(nn, gold, ks=(1, 5, 10)).select(
-        "k", F.round("hits", 6).alias("hits")
+        "k",
+        F.expr(
+            "(n_hits div n_gold) * 1000000"
+            " + ((n_hits % n_gold) * 1000000) div n_gold"
+        ).cast("bigint").alias("hits_micro"),
     )
 
 
@@ -636,12 +642,19 @@ matched AS (
   FROM gold g JOIN nn ON nn.qid = g.src_id AND nn.cid = g.tgt_id
   GROUP BY g.src_id
 ),
-ks AS (SELECT unnest([1, 5, 10]) AS k)
-SELECT ks.k::INT AS k,
-       round(coalesce(sum(CASE WHEN m.best_rank <= ks.k THEN 1 ELSE 0 END), 0)
-             / (SELECT count(*) FROM gold), 6) AS hits
-FROM ks LEFT JOIN matched m ON true
-GROUP BY ks.k
+ks AS (SELECT unnest([1, 5, 10]) AS k),
+c AS (
+  SELECT ks.k::INT AS k,
+         coalesce(sum(CASE WHEN m.best_rank <= ks.k THEN 1 ELSE 0 END), 0)
+           ::BIGINT AS n_hits,
+         (SELECT count(*) FROM gold)::BIGINT AS n_gold
+  FROM ks LEFT JOIN matched m ON true
+  GROUP BY ks.k
+)
+SELECT k,
+       ((n_hits // n_gold) * 1000000
+        + ((n_hits % n_gold) * 1000000) // n_gold)::BIGINT AS hits_micro
+FROM c
 """
 
 
@@ -1263,22 +1276,41 @@ def q_tpch_q1(spark, sf_dir):
             F.round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            # l_quantity is integer-valued, so its sum casts to bigint
+            # exactly; the mean is hashed as an exact integer-division
+            # micro value, never a rounded double ratio (1-ulp hazard)
+            F.sum("l_quantity").cast("bigint").alias("_qty_i"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .withColumn(
+            "avg_qty_micro",
+            F.expr(
+                "(_qty_i div count_order) * 1000000"
+                " + ((_qty_i % count_order) * 1000000) div count_order"
+            ).cast("bigint"),
+        )
+        .drop("_qty_i")
     )
 
 
 SQL_TPCH_Q1 = """
-SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+WITH a AS (
+  SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 6) AS sum_qty,
+         round(sum(l_extendedprice), 6) AS sum_base_price,
+         round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+         sum(l_quantity)::BIGINT AS qty_i,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price,
+       count_order,
+       ((qty_i // count_order) * 1000000
+        + ((qty_i % count_order) * 1000000) // count_order)::BIGINT
+         AS avg_qty_micro
+FROM a
 """
 
 
@@ -1345,8 +1377,14 @@ def q_decode_ppm(spark, sf_dir):
     triple is the byte mean, so the image mean equals the payload's
     byte-value mean."""
     blobs = M.synth_ppm_blobs(_docs(spark, sf_dir))
+    # hash the exact integer-division micro-mean (byte sum / byte count),
+    # not a rounded double ratio (1-ulp cross-engine hazard)
     return M.decode_image(blobs).select(
-        "doc_id", "height", "width", F.round("mean_px", 6).alias("mean_px")
+        "doc_id", "height", "width",
+        F.expr(
+            "(px_sum div px_n) * 1000000"
+            " + ((px_sum % px_n) * 1000000) div px_n"
+        ).cast("bigint").alias("mean_px_micro"),
     )
 
 
@@ -1354,12 +1392,19 @@ SQL_DECODE_PPM = """
 WITH p AS (
   SELECT doc_id, rpad(substr(text, 1, 192), 192, ' ') AS payload
   FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, 192),
+                                 i -> unicode(substr(payload, i, 1))))
+           ::BIGINT AS px_sum,
+         192::BIGINT AS px_n
+  FROM p
 )
 SELECT doc_id, 8::INT AS height, 8::INT AS width,
-       round(list_avg(list_transform(generate_series(1, 192),
-                                     i -> unicode(substr(payload, i, 1)))),
-             6) AS mean_px
-FROM p
+       ((px_sum // px_n) * 1000000
+        + ((px_sum % px_n) * 1000000) // px_n)::BIGINT AS mean_px_micro
+FROM s
 """
 
 
@@ -1370,9 +1415,15 @@ def q_decode_wav(spark, sf_dir):
     pure-python parser, and check rate/channels/sample stats against
     DuckDB byte arithmetic."""
     blobs = M.synth_wav_blobs(_docs(spark, sf_dir))
+    # mean ships as an exact integer-division micro value (sample sum /
+    # count); rms keeps 6-dp rounding — its sqrt makes it continuous, so
+    # the rounding-boundary hazard of exact integer ratios doesn't apply
     return M.decode_audio(blobs).select(
         "doc_id", "sample_rate", "n_channels", "n_samples",
-        F.round("mean_amp", 6).alias("mean_amp"),
+        F.expr(
+            "(amp_sum div n_samples) * 1000000"
+            " + ((amp_sum % n_samples) * 1000000) div n_samples"
+        ).cast("bigint").alias("mean_amp_micro"),
         F.round("rms", 6).alias("rms"),
     )
 
@@ -1390,7 +1441,9 @@ s AS (
 )
 SELECT doc_id, 8000::INT AS sample_rate, 1::INT AS n_channels,
        128::BIGINT AS n_samples,
-       round(list_avg(vals), 6) AS mean_amp,
+       ((list_sum(vals)::BIGINT // 128) * 1000000
+        + ((list_sum(vals)::BIGINT % 128) * 1000000) // 128)::BIGINT
+         AS mean_amp_micro,
        round(sqrt(list_avg(list_transform(vals, v -> v * v))), 6) AS rms
 FROM s
 """
@@ -1951,8 +2004,9 @@ FROM scored WHERE term_rank <= 3
 
 def q_corpus_stats(spark, sf_dir):
     """One-row corpus monitoring summary (counts, token totals, exact
-    dup rate, mean length) — every value integer-derived, so 6-dp
-    rounding is engine-exact."""
+    dup rate, mean length). The mean ships as avg_tokens_micro, a pure
+    integer-division BIGINT — a rounded-double ratio was observed to
+    disagree by 1 ulp across engines on rounding-boundary corpora."""
     return TA.corpus_stats(_docs(spark, sf_dir))
 
 
@@ -1961,13 +2015,19 @@ WITH b AS (
   SELECT doc_id, len({_TOKENS_SQL.format(col="text")})::BIGINT AS n_tok,
          length(text)::BIGINT AS n_chars, sha256(text) AS sha
   FROM documents
+),
+a AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS total_tokens,
+         sum(n_chars)::BIGINT AS total_chars,
+         count(DISTINCT sha)::BIGINT AS distinct_docs,
+         (count(*) - count(DISTINCT sha))::BIGINT AS exact_dup_docs
+  FROM b
 )
-SELECT count(*) AS n_docs, sum(n_tok) AS total_tokens,
-       sum(n_chars) AS total_chars,
-       count(DISTINCT sha) AS distinct_docs,
-       count(*) - count(DISTINCT sha) AS exact_dup_docs,
-       round(sum(n_tok) / CAST(count(*) AS DOUBLE), 6) AS avg_tokens
-FROM b
+SELECT *,
+       ((total_tokens // n_docs) * 1000000
+        + ((total_tokens % n_docs) * 1000000) // n_docs)::BIGINT
+         AS avg_tokens_micro
+FROM a
 """
 
 

@@ -21,7 +21,11 @@ def hits_at_k(
     ks: tuple[int, ...] = (1, 5, 10),
 ) -> DataFrame:
     """nn_df: (query_id, cand_id, rank); gold: (src_id, tgt_id), one tgt
-    per src (a dict in the reference). Returns one row per k: (k, hits)."""
+    per src (a dict in the reference). Returns one row per k:
+    (k, hits, n_hits, n_gold) — the ratio plus its exact integer
+    numerator/denominator, so consumers that must hash identically
+    across engines can use integer arithmetic instead of rounding the
+    double ratio (a 1-ulp cross-engine hazard on boundary corpora)."""
     n_gold = gold.count()
     matched = nn_df.join(
         gold,
@@ -37,8 +41,11 @@ def hits_at_k(
         ]
     ).first()
     for kk in sorted(ks):
-        rows.append((kk, (agg[f"h{kk}"] or 0) / n_gold))
-    return spark.createDataFrame(rows, "k int, hits double")
+        h = int(agg[f"h{kk}"] or 0)
+        rows.append((kk, h / n_gold, h, n_gold))
+    return spark.createDataFrame(
+        rows, "k int, hits double, n_hits bigint, n_gold bigint"
+    )
 
 
 def _canon_pairs(df: DataFrame, a: str, b: str) -> DataFrame:

@@ -45,7 +45,10 @@ def pack_blobs(
     )
 
 
-_FEAT_SCHEMA = "doc_id bigint, height int, width int, mean_px double, feat array<double>"
+_FEAT_SCHEMA = (
+    "doc_id bigint, height int, width int, mean_px double, "
+    "px_sum bigint, px_n bigint, feat array<double>"
+)
 
 
 def synth_ppm_blobs(
@@ -96,10 +99,10 @@ def _parse_ppm(raw: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError("16-bit PPM not supported")
     px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=pos)
     gray = px.astype(np.float64).reshape(-1, 3).mean(axis=1)
-    return w, h, gray
+    return w, h, gray, int(px.sum(dtype=np.int64))
 
 
-def _features_from_gray(doc_ids, whs, grays):
+def _features_from_gray(doc_ids, whs, grays, px_sums, px_ns):
     feats = []
     for g in grays:
         hist = np.histogram(g, bins=8, range=(0, 256))[0].astype(np.float64)
@@ -110,6 +113,12 @@ def _features_from_gray(doc_ids, whs, grays):
             "height": pd.array([h for _, h in whs], dtype="int32"),
             "width": pd.array([w for w, _ in whs], dtype="int32"),
             "mean_px": [float(g.mean()) for g in grays],
+            # exact integer (byte-sum, byte-count) pair: mean_px ==
+            # px_sum/px_n exactly, so downstream consumers that must hash
+            # identically across engines can derive an integer-division
+            # mean instead of rounding a double ratio (1-ulp hazard)
+            "px_sum": pd.array(px_sums, dtype="int64"),
+            "px_n": pd.array(px_ns, dtype="int64"),
             "feat": feats,
         }
     )
@@ -136,20 +145,24 @@ def decode_image(blobs: DataFrame, *, fake: bool = False, side: int = 8) -> Data
                     for b in pdf["blob"]
                 ]
                 whs = [(side, side)] * len(pdf)
+                px_sums = [int(g.sum()) for g in grays]
+                px_ns = [npx] * len(pdf)
             else:
-                whs, grays = [], []
+                whs, grays, px_sums, px_ns = [], [], [], []
                 for b in pdf["blob"]:
-                    w, h, gray = _parse_ppm(bytes(b))
+                    w, h, gray, psum = _parse_ppm(bytes(b))
                     whs.append((w, h))
                     grays.append(gray)
-            yield _features_from_gray(pdf["doc_id"], whs, grays)
+                    px_sums.append(psum)
+                    px_ns.append(w * h * 3)
+            yield _features_from_gray(pdf["doc_id"], whs, grays, px_sums, px_ns)
 
     return blobs.select("doc_id", "blob").mapInPandas(kernel, schema=_FEAT_SCHEMA)
 
 
 _AUDIO_SCHEMA = (
     "doc_id bigint, sample_rate int, n_channels int, n_samples bigint, "
-    "mean_amp double, rms double"
+    "mean_amp double, amp_sum bigint, rms double"
 )
 
 
@@ -238,7 +251,7 @@ def decode_audio(blobs: DataFrame, *, fake: bool = False) -> DataFrame:
                 continue
             rows = {"doc_id": pdf["doc_id"], "sample_rate": [],
                     "n_channels": [], "n_samples": [], "mean_amp": [],
-                    "rms": []}
+                    "amp_sum": [], "rms": []}
             for b in pdf["blob"]:
                 raw = bytes(b)
                 if fake:
@@ -254,11 +267,17 @@ def decode_audio(blobs: DataFrame, *, fake: bool = False) -> DataFrame:
                 rows["mean_amp"].append(
                     float(samples.mean()) if len(samples) else 0.0
                 )
+                # exact integer sample sum (samples are int16/uint8-valued
+                # floats): mean_amp == amp_sum/n_samples exactly, letting
+                # cross-engine consumers derive an integer-division mean
+                # instead of rounding a double ratio
+                rows["amp_sum"].append(int(samples.sum(dtype=np.float64)))
                 rows["rms"].append(
                     float(np.sqrt((samples**2).mean())) if len(samples) else 0.0
                 )
             rows["sample_rate"] = pd.array(rows["sample_rate"], dtype="int32")
             rows["n_channels"] = pd.array(rows["n_channels"], dtype="int32")
+            rows["amp_sum"] = pd.array(rows["amp_sum"], dtype="int64")
             yield pd.DataFrame(rows)
 
     return blobs.select("doc_id", "blob").mapInPandas(kernel, schema=_AUDIO_SCHEMA)

@@ -196,7 +196,16 @@ def corpus_stats(
     """ONE summary row for corpus monitoring dashboards: doc count,
     token totals, exact-duplicate rate (distinct sha256), and mean doc
     length. All map-side-combinable scalar aggregates — one job, no
-    wide shuffle of document rows."""
+    wide shuffle of document rows.
+
+    The mean is emitted as ``avg_tokens_micro`` — the floor of
+    1e6 * total_tokens / n_docs as an exact BIGINT, computed with pure
+    integer division so any engine produces the identical value (a
+    rounded DOUBLE ratio can differ by 1 ulp across engines when its
+    6-dp image lands on a rounding boundary — observed cross-engine).
+    Split as (L div n)*1e6 + ((L mod n)*1e6) div n so the intermediate
+    never exceeds ~n*1e6, overflow-safe even at 100 TB token counts
+    where a naive 1e6*L would blow past int64."""
     tok = T.tokens(F.col(text_col))
     base = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
@@ -204,14 +213,18 @@ def corpus_stats(
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         F.sha2(F.col(text_col), 256).alias("sha"),
     )
-    return base.agg(
+    agg = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("sha").alias("distinct_docs"),
         (F.count(F.lit(1)) - F.countDistinct("sha")).alias("exact_dup_docs"),
-        F.round(F.sum("n_tok") / F.count(F.lit(1)), 6).alias("avg_tokens"),
     )
+    micro = (
+        "(total_tokens div n_docs) * 1000000"
+        " + ((total_tokens % n_docs) * 1000000) div n_docs"
+    )
+    return agg.withColumn("avg_tokens_micro", F.expr(micro).cast("bigint"))
 
 
 def vocab_topk(

@@ -269,14 +269,17 @@ def test_real_ppm_decode(spark, docs):
     assert all(abs(sum(r.feat) - 1.0) < 1e-9 for r in feats)
     # python cross-check of one blob
     raw = bytes(blobs.orderBy("doc_id").first().blob)
-    w, h, gray = M._parse_ppm(raw)
+    w, h, gray, psum = M._parse_ppm(raw)
     got = next(r for r in feats if r.doc_id == blobs.orderBy("doc_id").first().doc_id)
     assert (w, h) == (8, 8) and abs(got.mean_px - float(np.mean(gray))) < 1e-9
+    # the exact-integer pair reproduces the mean: px_sum/px_n == mean_px
+    assert got.px_sum == psum and got.px_n == 8 * 8 * 3
+    assert abs(got.px_sum / got.px_n - got.mean_px) < 1e-12
     # comment + wide whitespace header variant
     body = bytes(range(2 * 3 * 3)) * 1
     ppm = b"P6\n# a comment\n 3\t2 \n255\n" + body
-    w2, h2, g2 = M._parse_ppm(ppm)
-    assert (w2, h2) == (3, 2) and len(g2) == 6
+    w2, h2, g2, psum2 = M._parse_ppm(ppm)
+    assert (w2, h2) == (3, 2) and len(g2) == 6 and psum2 == sum(body)
     # non-PPM magic -> honest NotImplementedError
     with pytest.raises(NotImplementedError):
         M._parse_ppm(b"\x89PNG....")
