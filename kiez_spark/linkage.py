@@ -164,13 +164,15 @@ def align_files(
     max_dist: float | None = None,
     mutual: bool = True,
     checkpoint_dir: str | None = None,
-    # same calibrated euclidean-LSH defaults as link_files (W must
-    # exceed the near-pair distance scale or the AND-ed bits never
-    # collide — the uncalibrated PipelineConfig defaults silently
-    # produced ZERO cross-space candidates on this corpus)
+    # table/bit counts calibrated like link_files; the bucket width
+    # defaults to None so HubnessKnn auto-calibrates it from the ACTUAL
+    # corpus distance scale (estimate_bucket_width) — a hardcoded width
+    # tuned to one corpus silently yields ~zero cross-space candidates
+    # on a corpus with a different scale. Pass a float only when the
+    # corpus scale is known (e.g. the synth fixture's 32.0).
     lsh_tables: int = 12,
     lsh_bits: int = 6,
-    lsh_bucket_width: float = 32.0,
+    lsh_bucket_width: float | None = None,
 ) -> AlignmentResult:
     """Dual-space entity ALIGNMENT — the reference's headline use case
     (/root/reference/kiez/kiez.py:19: hubness-reduced kNN "to compare

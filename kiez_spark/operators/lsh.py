@@ -53,11 +53,17 @@ def signatures(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """(id, table, sig): one signature row per (entity, hash table)."""
-    if dim is None:
-        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first["d"])
-    proj = _projections(dim, n_tables, n_bits, seed)
+    """(id, table, sig): one signature row per (entity, hash table).
+
+    The projection matrix is built LAZILY inside the Arrow kernel from
+    the first batch's vector length: ``_projections`` is a pure function
+    of (dim, n_tables, n_bits, seed), so every worker constructs the
+    bit-identical matrix independently — no plan-construction ``first()``
+    probe job (at 100 TB that probe is a full scan-schema touch per LSH
+    call), and an empty input yields an empty signature frame instead of
+    crashing. Pass ``dim`` explicitly only to pin a width that differs
+    from the data (never needed in practice)."""
+    proj = None if dim is None else _projections(dim, n_tables, n_bits, seed)
     src = df.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -68,12 +74,15 @@ def signatures(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one matmul per Arrow batch; bits packed into one int64 per table
+        proj_l = proj
         weights = np.arange(nb, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
             mat = np.stack(pdf["vec"].to_numpy())
-            h = mat @ proj  # (n, nt*nb)
+            if proj_l is None:
+                proj_l = _projections(mat.shape[1], nt, nb, seed)
+            h = mat @ proj_l  # (n, nt*nb)
             if is_cosine:
                 codes = (h > 0).astype(np.int64).reshape(-1, nt, nb)
                 sigs = (codes << weights).sum(axis=2)
@@ -116,9 +125,10 @@ def lsh_candidates(
         id_col=id_col, vec_col=vec_col, n_tables=n_tables, n_bits=n_bits,
         bucket_width=bucket_width, seed=seed,
     )
-    dim = int(queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
-    qs = signatures(queries, metric, dim=dim, **common)
-    xs = signatures(index, metric, dim=dim, **common)
+    # both sides hash through the same deterministic lazily-built
+    # projection (see signatures) — no dim probe job
+    qs = signatures(queries, metric, **common)
+    xs = signatures(index, metric, **common)
     pairs = (
         qs.alias("q")
         .join(xs.alias("x"), ["table", "sig"])
@@ -217,9 +227,11 @@ def lsh_topk(
         id_col=id_col, vec_col=vec_col, n_tables=n_tables, n_bits=n_bits,
         bucket_width=bucket_width, seed=seed,
     )
-    dim = int(queries.select(F.size(F.col(vec_col)).alias("d")).first()["d"])
-    qs = signatures(queries, metric, dim=dim, **common)
-    xs = signatures(index, metric, dim=dim, **common)
+    # both sides hash through the same deterministic lazily-built
+    # projection (see signatures) — no dim probe job, and an empty
+    # queries frame flows through to an empty result
+    qs = signatures(queries, metric, **common)
+    xs = signatures(index, metric, **common)
 
     def with_block(df: DataFrame, sig: DataFrame) -> DataFrame:
         v = df.select(

@@ -174,7 +174,9 @@ def derive_embeddings(
         for pdf in batches:
             if pdf.empty:
                 continue
-            tok_lists = [s.split(" ") for s in pdf["content"]]
+            # (s or "") keeps the kernel total over null content — a null
+            # row yields the zero vector instead of crashing the worker
+            tok_lists = [(s or "").split(" ") for s in pdf["content"]]
             lens = np.fromiter(
                 (len(t) for t in tok_lists), dtype=np.int64, count=len(tok_lists)
             )

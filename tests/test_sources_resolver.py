@@ -97,6 +97,28 @@ def test_lsh_index_persistence(spark, tmp_path):
     assert a == b
 
 
+def test_lsh_lazy_projection_and_empty_input(spark):
+    """The projection matrix is built lazily inside the kernel (no
+    plan-construction first() probe job), so (a) an EMPTY queries frame
+    returns an empty result instead of crashing on first()==None, and
+    (b) two frames hashed independently still land in identical buckets
+    (the seeded matrix is a pure function of dim)."""
+    files = synth.repos_files(spark, n=60)
+    emb = synth.derive_embeddings(files, dim=32).select("id", "vec")
+    empty = emb.filter(F.col("id") < 0)
+    out = L.lsh_topk(empty, emb, k=3, metric="euclidean", bucket_width=32.0)
+    assert out.columns == ["query_id", "cand_id", "dist", "rank"]
+    assert out.count() == 0
+    assert L.signatures(empty, "cosine").count() == 0
+    # independent lazy builds agree: self-join candidates are symmetric
+    # and every id collides with itself when not excluded
+    cands = L.lsh_candidates(emb, emb, "cosine", n_tables=4, n_bits=8)
+    pairs = {(r.query_id, r.cand_id) for r in cands.collect()}
+    ids = [r.id for r in emb.select("id").collect()]
+    assert all((i, i) in pairs for i in ids)
+    assert all((b, a) in pairs for a, b in pairs)
+
+
 def test_job_entrypoint(spark, tmp_path):
     """Drive the spark-submit main() in-process (same SparkSession)."""
     import jobs.run_linkage as job
