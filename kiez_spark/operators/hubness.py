@@ -163,10 +163,11 @@ def mutual_proximity_empiric(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
     Plan: aggregate each target j's reverse list once (groupBy into
     id-sorted parallel arrays), broadcast-join it onto forward candidates,
     then a grouped ``applyInPandas`` computes the k x k comparison matrix
-    per query — fully vectorized: the sparse dhat_j row is a
-    ``np.searchsorted`` probe of the sorted reverse-id array (no Python
-    dict/list work per candidate). O(m^2) numpy per query — keep
-    n_candidates modest, as the reference does.
+    per query — fully vectorized, no per-row Python: the ragged reverse
+    lists are padded into one (m x L) matrix pair and ALL m x m sparse
+    dhat probes run as a single broadcast membership compare.
+    O(m^2 L) numpy per query — keep n_candidates modest, as the
+    reference does.
 
     Requires every forward candidate to appear as a reverse query
     (guaranteed by the exact tiers; see module note on the lsh tier).
@@ -195,14 +196,26 @@ def mutual_proximity_empiric(s2t: DataFrame, t2s: DataFrame) -> DataFrame:
         m = len(pdf)
         d = pdf["dist"].to_numpy(np.float64)
         c = pdf["cand_id"].to_numpy(np.int64)
-        dhat = np.empty((m, m), dtype=np.float64)
-        for j in range(m):
-            rid = np.asarray(pdf["rev_ids"].iloc[j], dtype=np.int64)
-            rd = np.asarray(pdf["rev_dists"].iloc[j], dtype=np.float64)
-            pos = np.searchsorted(rid, c)
-            posc = np.minimum(pos, len(rid) - 1)
-            hit = rid[posc] == c
-            dhat[j] = np.where(hit, rd[posc], pdf["rev_max"].iloc[j] + 1e-6)
+        rev_max = pdf["rev_max"].to_numpy(np.float64)
+        # pad the ragged reverse lists into one (m x L) pair of matrices
+        # (vectorized mask fill — no per-row Python), then probe ALL m x m
+        # memberships in one broadcast compare: ids are unique within a
+        # row, so the masked sum picks out exactly the matched distance.
+        lists_i = pdf["rev_ids"].to_list()
+        lists_d = pdf["rev_dists"].to_list()
+        lens = np.fromiter((len(x) for x in lists_i), dtype=np.int64, count=m)
+        L = int(lens.max()) if m else 0
+        pad = np.arange(L)[None, :] < lens[:, None]
+        rid = np.full((m, L), np.iinfo(np.int64).min, dtype=np.int64)
+        rd = np.zeros((m, L), dtype=np.float64)
+        rid[pad] = np.concatenate(lists_i) if m else []
+        rd[pad] = np.concatenate(lists_d) if m else []
+        eq = rid[:, :, None] == c[None, None, :]  # (m, L, m) membership
+        dhat = np.where(
+            eq.any(axis=1),
+            (rd[:, :, None] * eq).sum(axis=1),
+            rev_max[:, None] + 1e-6,
+        )
         cnt = ((d[None, :] > d[:, None]) & (dhat > d[:, None])).sum(axis=1)
         return pd.DataFrame(
             {"query_id": pdf["query_id"], "cand_id": c, "dist": 1.0 - cnt / m}
