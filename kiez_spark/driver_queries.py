@@ -264,6 +264,38 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_chebyshev(spark, sf_dir):
+    """Chebyshev (minkowski p=inf) through the pandas kernel — the last
+    member of the reference sklearn tier's minkowski family
+    (sklearn_nearest_neighbors.py:51-101). max(|diff|) picks ONE exact
+    f64 element on both engines (no summation-order hazard), so the
+    6-dp hashes match bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "chebyshev", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_CHEBYSHEV = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid, max(abs(a.val - b.val)) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted blocked kNN must EQUAL the plain per-key kNN — the
     oracle is the UNSALTED SQL, so exact equality (the whole point of
@@ -2279,6 +2311,7 @@ QUERIES = {
     "knn_exact_cosine": (q_knn_cosine, SQL_KNN_COSINE),
     "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
     "knn_exact_minkowski3": (q_knn_minkowski3, SQL_KNN_MINKOWSKI3),
+    "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),

@@ -63,10 +63,23 @@ def cosine_distance(a: Column, b: Column) -> Column:
     )
 
 
+def chebyshev(a: Column, b: Column) -> Column:
+    """L-infinity: max_i |a_i - b_i| (minkowski p=inf limit; the
+    reference's sklearn exact tier accepts it by name,
+    sklearn_nearest_neighbors.py:51-101)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+
+
 def minkowski(a: Column, b: Column, p: float) -> Column:
     """General minkowski-p (the reference's sklearn backend supports any
     p, sklearn_nearest_neighbors.py; p=2 aliases to euclidean like
-    random_projection_trees.py:86-87)."""
+    random_projection_trees.py:86-87; p=inf is chebyshev)."""
+    if p == float("inf"):
+        return chebyshev(a, b)
     if p == 2:
         return euclidean(a, b)
     if p == 1:
@@ -92,6 +105,8 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return cosine_distance(a, b)
     if metric in ("manhattan", "l1", "cityblock"):
         return minkowski(a, b, 1)
+    if metric in ("chebyshev", "linf", "l_inf"):
+        return chebyshev(a, b)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

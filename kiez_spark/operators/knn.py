@@ -116,17 +116,26 @@ def knn_join_expr(
 
 def _metric_p(metric: str) -> float | None:
     """Minkowski exponent for element-wise metrics; None for the
-    GEMM-expressible family (euclidean/sqeuclidean/cosine)."""
+    GEMM-expressible family (euclidean/sqeuclidean/cosine). p=inf is
+    chebyshev: accumulate with max instead of +, no final root."""
     if metric in ("euclidean", "minkowski", "l2", "sqeuclidean", "cosine", "cos"):
         return None
     if metric in ("manhattan", "l1", "cityblock"):
         return 1.0
+    if metric in ("chebyshev", "linf", "l_inf"):
+        return np.inf
     if metric.startswith("minkowski_"):
         p = float(metric.split("_", 1)[1])
         if p <= 0:
             raise ValueError(f"minkowski p must be > 0, got {p}")
         return p
     raise ValueError(f"unsupported metric: {metric}")
+
+
+def _p_needs_power(p: float) -> bool:
+    """Whether the element-wise family accumulates |diff|**p (p finite,
+    != 1) as opposed to the plain-sum (p=1) / running-max (p=inf) forms."""
+    return p != 1.0 and p != np.inf
 
 
 def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
@@ -138,8 +147,11 @@ def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
         acc = np.zeros((qm.shape[0], xm.shape[0]), dtype=np.float64)
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm[:, dcol][:, None] - xm[:, dcol][None, :])
-            acc += diff if p == 1.0 else diff**p
-        return acc if p == 1.0 else acc ** (1.0 / p)
+            if p == np.inf:
+                np.maximum(acc, diff, out=acc)
+            else:
+                acc += diff if p == 1.0 else diff**p
+        return acc ** (1.0 / p) if _p_needs_power(p) else acc
     if metric in ("euclidean", "minkowski", "l2", "sqeuclidean"):
         sq = (
             (qm * qm).sum(axis=1)[:, None]
@@ -195,7 +207,10 @@ def _topk_block(
         d32 = np.zeros((qm.shape[0], n), dtype=np.float32)
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm32[:, dcol][:, None] - xm32[:, dcol][None, :])
-            d32 += diff if p == 1.0 else diff**np.float32(p)
+            if p == np.inf:
+                np.maximum(d32, diff, out=d32)
+            else:
+                d32 += diff if p == 1.0 else diff**np.float32(p)
     else:
         qm32 = qm.astype(np.float32)
         xm32 = xm.astype(np.float32)
@@ -225,7 +240,10 @@ def _topk_block(
         dsel = 1.0 - (qmn[rows] * xmn[cols]).sum(axis=1)
     elif p is not None:
         diff = np.abs(qm[rows] - xm[cols])
-        dsel = diff.sum(axis=1) if p == 1.0 else (diff**p).sum(axis=1) ** (1.0 / p)
+        if p == np.inf:
+            dsel = diff.max(axis=1) if diff.size else np.zeros(len(rows))
+        else:
+            dsel = diff.sum(axis=1) if p == 1.0 else (diff**p).sum(axis=1) ** (1.0 / p)
     else:
         q2 = (qm * qm).sum(axis=1)
         x2 = (xm * xm).sum(axis=1)
@@ -381,7 +399,7 @@ class _BruteKnnKernel:
                     q32[:, 0][:, None], self.x32[lo : lo + w, 0][None, :], out=dt
                 )
                 np.abs(dt, out=dt)
-                if self.p != 1.0:
+                if _p_needs_power(self.p):
                     np.power(dt, np.float32(self.p), out=dt)
                 tmp = self._part[:m, :w]  # reuse the partition scratch
                 for dcol in range(1, q32.shape[1]):
@@ -391,6 +409,9 @@ class _BruteKnnKernel:
                         out=tmp,
                     )
                     np.abs(tmp, out=tmp)
+                    if self.p == np.inf:
+                        np.maximum(dt, tmp, out=dt)
+                        continue
                     if self.p != 1.0:
                         np.power(tmp, np.float32(self.p), out=tmp)
                     dt += tmp
@@ -501,10 +522,13 @@ class _BruteKnnKernel:
                 np.take(self.xm[:, dcol], cols, out=t2)
                 t1 -= t2
                 np.abs(t1, out=t1)
+                if self.p == np.inf:
+                    np.maximum(acc, t1, out=acc)
+                    continue
                 if self.p != 1.0:
                     np.power(t1, self.p, out=t1)
                 acc += t1
-            if self.p != 1.0:
+            if _p_needs_power(self.p):
                 np.power(acc, 1.0 / self.p, out=acc)
             dsel = acc
         elif self.is_cos:

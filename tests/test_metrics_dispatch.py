@@ -30,7 +30,7 @@ def _collect_nn(df):
     }
 
 
-@pytest.mark.parametrize("metric", ["manhattan", "minkowski_3"])
+@pytest.mark.parametrize("metric", ["manhattan", "minkowski_3", "chebyshev"])
 def test_pandas_tier_elementwise_metric_matches_expr(
     spark, source_df, target_df, metric
 ):
@@ -46,16 +46,17 @@ def test_pandas_tier_elementwise_metric_matches_expr(
         assert gdist == pytest.approx(dist, rel=1e-9), key
 
 
-def test_blocked_tier_manhattan(spark, source_target):
+@pytest.mark.parametrize("metric", ["manhattan", "chebyshev"])
+def test_blocked_tier_elementwise(spark, source_target, metric):
     """Blocked (cogrouped) tier supports the element-wise family too."""
     src, tgt = source_target
     rows_q = [(i, [float(x) for x in r], int(i % 2)) for i, r in enumerate(src)]
     rows_x = [(i, [float(x) for x in r], int(i % 2)) for i, r in enumerate(tgt)]
     q = spark.createDataFrame(rows_q, "id bigint, vec array<double>, block int")
     x = spark.createDataFrame(rows_x, "id bigint, vec array<double>, block int")
-    got = K.knn_join_blocked(q, x, 3, "manhattan", block_col="block")
+    got = K.knn_join_blocked(q, x, 3, metric, block_col="block")
     exp = K.topk(
-        K.knn_join_expr(q, x, 10_000, "manhattan", block_col="block"), 3
+        K.knn_join_expr(q, x, 10_000, metric, block_col="block"), 3
     )
     g = {(r["query_id"], r["cand_id"]): r["dist"] for r in got.collect()}
     e = {(r["query_id"], r["cand_id"]): r["dist"] for r in exp.collect()}
