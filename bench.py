@@ -65,12 +65,15 @@ BENCH_QUERIES = [
 ]
 
 
-# queries whose wall is dominated by host weather, not work (measured
-# 5.4-13.6s same-day spread for an unchanged minhash plan, BASELINE.md):
-# run N times and report the min — the same steady-state estimator the
-# scaling blocks use. spark.catalog.clearCache() between runs because
-# Spark re-serves persisted frames to canonically-equal plans.
-REPEAT_MIN = {"minhash_lsh_pairs": 2}
+# Per-query wall on this shared host is dominated by weather, not work
+# (measured 5.4-13.6s same-day spread for an unchanged minhash plan, and
+# +-15% swings on the sub-3s queries across r3/r4 with no code change on
+# their paths — BASELINE.md): EVERY suite query runs twice and reports
+# the min, the same steady-state estimator the scaling blocks use.
+# spark.catalog.clearCache() between runs because Spark re-serves
+# persisted frames to canonically-equal plans.
+REPEAT_DEFAULT = 2
+REPEAT_MIN = {}
 
 
 def run_queries(spark, names, sf_dir):
@@ -80,7 +83,7 @@ def run_queries(spark, names, sf_dir):
     for name in names:
         fn, _ = QUERIES[name]
         walls = []
-        for rep in range(REPEAT_MIN.get(name, 1)):
+        for rep in range(REPEAT_MIN.get(name, REPEAT_DEFAULT)):
             if rep:
                 spark.catalog.clearCache()
             t0 = time.time()

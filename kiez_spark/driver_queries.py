@@ -296,6 +296,47 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_hamming(spark, sf_dir):
+    """Boolean/hamming family of the reference's sklearn exact tier
+    (sklearn_nearest_neighbors.py:51-101): mean element-wise inequality
+    over COARSELY QUANTIZED vectors (floor(2x) — on continuous data
+    hamming is degenerate, everything differs). Integer-valued quantized
+    dims are exact in f32, so the kernel's f32 selection counts equal
+    the f64 rerank counts and count/64 is bit-exact across engines."""
+    emb = _emb(spark, sf_dir).select(
+        "id",
+        F.expr("transform(vec, x -> floor(x * 2))").alias("vec"),
+    )
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "hamming", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_HAMMING = f"""
+WITH {_V_SQL},
+vq AS (
+  SELECT id, list_transform(vec, x -> floor(x * 2)) AS vec FROM v
+),
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM vq
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sum(CASE WHEN a.val <> b.val THEN 1.0 ELSE 0.0 END)
+           / count(*) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted blocked kNN must EQUAL the plain per-key kNN — the
     oracle is the UNSALTED SQL, so exact equality (the whole point of
@@ -2312,6 +2353,7 @@ QUERIES = {
     "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
     "knn_exact_minkowski3": (q_knn_minkowski3, SQL_KNN_MINKOWSKI3),
     "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
+    "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),
@@ -2377,3 +2419,10 @@ QUERIES = {
     "linkage_f1_lsh": (q_linkage_f1_lsh, None),
     "linkage_f1_lsh_scale": (q_linkage_f1_lsh_scale, None),
 }
+
+# Queries whose build is bench-scale (multi-ten-second synthetic corpora,
+# e.g. the n=20000 LSH linkage F1 gate, ~42 s) rather than sf0.01-sized.
+# tools/check_oracles.py skips these in its default fast sweep (they stay
+# pytest-gated in tests/test_synth_lsh_linkage.py) and includes them
+# under --all; the driver's own gate is unaffected.
+BENCH_SCALE = {"linkage_f1_lsh_scale"}

@@ -63,6 +63,19 @@ def cosine_distance(a: Column, b: Column) -> Column:
     )
 
 
+def hamming(a: Column, b: Column) -> Column:
+    """Fraction of differing elements — sklearn's boolean/hamming family
+    (the reference's exact tier accepts it by name,
+    sklearn_nearest_neighbors.py:51-101). Meaningful on quantized /
+    categorical vectors; on continuous data everything differs."""
+    ne = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.when(x == y, 0.0).otherwise(1.0)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return ne / F.size(a).cast("double")
+
+
 def chebyshev(a: Column, b: Column) -> Column:
     """L-infinity: max_i |a_i - b_i| (minkowski p=inf limit; the
     reference's sklearn exact tier accepts it by name,
@@ -107,6 +120,8 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return minkowski(a, b, 1)
     if metric in ("chebyshev", "linf", "l_inf"):
         return chebyshev(a, b)
+    if metric == "hamming":
+        return hamming(a, b)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

@@ -124,6 +124,10 @@ def _metric_p(metric: str) -> float | None:
         return 1.0
     if metric in ("chebyshev", "linf", "l_inf"):
         return np.inf
+    if metric == "hamming":
+        # rides the p=1 sum-accumulation path with a per-dim binarize
+        # (sign of |diff|) and a final /d — see _is_hamming call sites
+        return 1.0
     if metric.startswith("minkowski_"):
         p = float(metric.split("_", 1)[1])
         if p <= 0:
@@ -138,19 +142,32 @@ def _p_needs_power(p: float) -> bool:
     return p != 1.0 and p != np.inf
 
 
+def _is_hamming(metric: str) -> bool:
+    """sklearn's hamming = mean(x_i != y_i): the p=1 path over
+    sign(|diff|) per dim, divided by d at the end. The mismatch COUNT is
+    integer-valued in f64 and d is a constant, so count/d is bit-exact
+    across engines."""
+    return metric == "hamming"
+
+
 def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     """Batched distance kernel, float64 BLAS (element-wise dim loop for
     the non-GEMM minkowski family — the reference's sklearn backend takes
     any p, sklearn_nearest_neighbors.py:51-101)."""
     p = _metric_p(metric)
     if p is not None:
+        ham = _is_hamming(metric)
         acc = np.zeros((qm.shape[0], xm.shape[0]), dtype=np.float64)
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm[:, dcol][:, None] - xm[:, dcol][None, :])
+            if ham:
+                np.sign(diff, out=diff)
             if p == np.inf:
                 np.maximum(acc, diff, out=acc)
             else:
                 acc += diff if p == 1.0 else diff**p
+        if ham:
+            acc /= qm.shape[1]
         return acc ** (1.0 / p) if _p_needs_power(p) else acc
     if metric in ("euclidean", "minkowski", "l2", "sqeuclidean"):
         sq = (
@@ -207,6 +224,8 @@ def _topk_block(
         d32 = np.zeros((qm.shape[0], n), dtype=np.float32)
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm32[:, dcol][:, None] - xm32[:, dcol][None, :])
+            if _is_hamming(metric):
+                np.sign(diff, out=diff)
             if p == np.inf:
                 np.maximum(d32, diff, out=d32)
             else:
@@ -240,7 +259,9 @@ def _topk_block(
         dsel = 1.0 - (qmn[rows] * xmn[cols]).sum(axis=1)
     elif p is not None:
         diff = np.abs(qm[rows] - xm[cols])
-        if p == np.inf:
+        if _is_hamming(metric):
+            dsel = np.sign(diff).sum(axis=1) / qm.shape[1]
+        elif p == np.inf:
             dsel = diff.max(axis=1) if diff.size else np.zeros(len(rows))
         else:
             dsel = diff.sum(axis=1) if p == 1.0 else (diff**p).sum(axis=1) ** (1.0 / p)
@@ -291,6 +312,7 @@ class _BruteKnnKernel:
         self.cushion = cushion
         self.is_cos = metric in ("cosine", "cos")
         self.p = _metric_p(metric)
+        self.is_ham = _is_hamming(metric)
         n = xm.shape[0]
         if self.p is not None:
             # element-wise minkowski family: no GEMM form; tiles are
@@ -399,7 +421,9 @@ class _BruteKnnKernel:
                     q32[:, 0][:, None], self.x32[lo : lo + w, 0][None, :], out=dt
                 )
                 np.abs(dt, out=dt)
-                if _p_needs_power(self.p):
+                if self.is_ham:
+                    np.sign(dt, out=dt)
+                elif _p_needs_power(self.p):
                     np.power(dt, np.float32(self.p), out=dt)
                 tmp = self._part[:m, :w]  # reuse the partition scratch
                 for dcol in range(1, q32.shape[1]):
@@ -409,10 +433,12 @@ class _BruteKnnKernel:
                         out=tmp,
                     )
                     np.abs(tmp, out=tmp)
-                    if self.p == np.inf:
+                    if self.is_ham:
+                        np.sign(tmp, out=tmp)
+                    elif self.p == np.inf:
                         np.maximum(dt, tmp, out=dt)
                         continue
-                    if self.p != 1.0:
+                    elif self.p != 1.0:
                         np.power(tmp, np.float32(self.p), out=tmp)
                     dt += tmp
             else:
@@ -522,13 +548,17 @@ class _BruteKnnKernel:
                 np.take(self.xm[:, dcol], cols, out=t2)
                 t1 -= t2
                 np.abs(t1, out=t1)
-                if self.p == np.inf:
+                if self.is_ham:
+                    np.sign(t1, out=t1)
+                elif self.p == np.inf:
                     np.maximum(acc, t1, out=acc)
                     continue
-                if self.p != 1.0:
+                elif self.p != 1.0:
                     np.power(t1, self.p, out=t1)
                 acc += t1
-            if _p_needs_power(self.p):
+            if self.is_ham:
+                acc /= qm.shape[1]
+            elif _p_needs_power(self.p):
                 np.power(acc, 1.0 / self.p, out=acc)
             dsel = acc
         elif self.is_cos:

@@ -65,9 +65,31 @@ def test_blocked_tier_elementwise(spark, source_target, metric):
         assert g[key] == pytest.approx(e[key], rel=1e-9)
 
 
+def test_hamming_quantized_cross_tier(spark, source_target):
+    """Hamming over quantized (integer-valued) vectors: pandas kernel ==
+    expr tier == blocked tier on indices, exactly on distances (mismatch
+    counts are integers, /d is the same f64 division everywhere)."""
+    src, tgt = source_target
+    qsrc = np.floor(src * 4.0)
+    qtgt = np.floor(tgt * 4.0)
+    rows_q = [(i, [float(x) for x in r], 0) for i, r in enumerate(qsrc)]
+    rows_x = [(i, [float(x) for x in r], 0) for i, r in enumerate(qtgt)]
+    q = spark.createDataFrame(rows_q, "id bigint, vec array<double>, block int")
+    x = spark.createDataFrame(rows_x, "id bigint, vec array<double>, block int")
+    exp = _collect_nn(K.knn_join_expr(q, x, 5, "hamming"))
+    got = _collect_nn(K.knn_join_pandas(q, x, 5, "hamming"))
+    assert got == exp
+    blk_df = K.knn_join_blocked(q, x, 5, "hamming", block_col="block")
+    blk = {(r["query_id"], r["cand_id"]): r["dist"] for r in blk_df.collect()}
+    exp_pairs = {(qi, cid): d for (qi, _), (cid, d) in exp.items()}
+    assert blk == exp_pairs
+    # sanity: distances are mismatch-count/5 fractions in [0, 1]
+    assert all(0.0 <= d <= 1.0 and round(d * 5) == d * 5 for _, d in exp.values())
+
+
 def test_unsupported_metric_raises():
     with pytest.raises(ValueError):
-        K._metric_p("hamming-ish")
+        K._metric_p("mahalanobis-ish")
 
 
 @pytest.fixture(scope="module")

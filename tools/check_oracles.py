@@ -2,19 +2,35 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row
 count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [query ...]
+Usage:
+  python tools/check_oracles.py [query ...]     # subset (or all fast)
+  python tools/check_oracles.py --all           # include BENCH_SCALE set
+  python tools/check_oracles.py --all --json CORRECTNESS_full_rNN.json
+
+Rows-only queries (no oracle_sql entry — streaming/iterative/ANN by
+design) are recorded with err="no_oracle" and their row count, the r3
+driver-artifact format, so every registered query has a per-round status
+(VERDICT r4 "gate-coverage rotation" item).
+
+Queries in driver_queries.BENCH_SCALE (multi-ten-second synthetic-scale
+builds, e.g. the n=20000 LSH linkage gate) are skipped unless named
+explicitly or --all is passed — they are pytest-gated separately and
+would dominate this otherwise ~2 min sf0.01 sweep.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
+import time
 
 import duckdb
 
 sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from kiez_spark.driver_queries import BENCH_SCALE  # noqa: E402
 from kiez_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -49,7 +65,16 @@ def table_hash(cols, rows):
 
 
 def main():
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    run_all = "--all" in args
+    args = [a for a in args if a != "--all"]
+    only = set(args)
+
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
@@ -60,26 +85,44 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    n_pass = n_fail = 0
+    report: dict[str, dict] = {}
+    n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if not only and not run_all and name in BENCH_SCALE:
+            print(f"SKIP {name}: bench-scale (run with --all or by name)")
+            continue
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
+        t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            rec["spark_rows"] = len(srows)
         except Exception as ex:
+            rec["err"] = f"spark:{type(ex).__name__}"
             print(f"FAIL {name}: spark error {type(ex).__name__}: {str(ex)[:160]}")
             n_fail += 1
             continue
         if name not in oracles:
+            rec["err"] = "no_oracle"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
+            rec["wall_sec"] = round(time.time() - t0, 2)
             print(f"ROWS {name}: {len(srows)} rows (no oracle)")
+            n_rows_only += 1
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = [c.lower() for c in rel.columns]
             drows = rel.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as ex:
+            rec["err"] = "duckdb"
             print(f"FAIL {name}: duckdb error {str(ex)[:200]}")
             n_fail += 1
             continue
@@ -88,6 +131,8 @@ def main():
         sh = table_hash([c.lower() for c in scols], [tuple(r) for r in srows])
         dh = table_hash(dcols, drows)
         ok_hash = sh == dh
+        rec.update(rows_match=ok_rows, schema_match=ok_cols, hash_match=ok_hash)
+        rec["wall_sec"] = round(time.time() - t0, 2)
         status = "PASS" if (ok_cols and ok_rows and ok_hash) else "FAIL"
         detail = ""
         if not ok_cols:
@@ -99,7 +144,11 @@ def main():
         print(f"{status} {name}: {len(srows)} rows{detail}")
         n_pass += status == "PASS"
         n_fail += status == "FAIL"
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if json_path:
+        with open(json_path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_path} ({len(report)} entries)")
     spark.stop()
     return 1 if n_fail else 0
 
