@@ -358,6 +358,17 @@ def main():
                 "walls_hi_sec": m_hi_walls,
                 "efficiency": round(m_eff, 3),
             }
+            # the machine-checkable throttle-vs-code discriminator: the
+            # kernel_only control is the SAME scoring kernel at the same
+            # worker counts with no Spark/JVM at all, measured the same
+            # session — mid efficiency normalized by the control isolates
+            # what the ENGINE adds to the scaling loss from what the
+            # shared host takes at 16 busy vCPUs (BASELINE.md)
+            k = scaling.get("kernel_only")
+            if k and k["efficiency"] > 0:
+                scaling["mid_pair"]["vs_kernel_control"] = round(
+                    m_eff / k["efficiency"], 3
+                )
             print(
                 f"  mid scaling: local[{mid_lo}] {t_mlo:.1f}s ->"
                 f" local[{mid_hi}] {t_mhi:.1f}s, efficiency {m_eff:.2f}",

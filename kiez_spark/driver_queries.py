@@ -38,6 +38,7 @@ from kiez_spark.operators import evaluate as E
 from kiez_spark.operators import knn as K
 from kiez_spark.operators import lsh as L
 from kiez_spark.operators import multimodal as M
+from kiez_spark.operators import packing as PK
 from kiez_spark.operators import similarity as SIM
 from kiez_spark.operators import skew as SK
 from kiez_spark.operators import text_analysis as TA
@@ -2344,6 +2345,117 @@ WHERE ({_H_SQL.format(s="doc_id::VARCHAR || '_7'")}) % {1 << 20}
 """
 
 
+_STRAT_QUOTAS = {"en": 40, "de": 25, "fr": 10}  # es/zh -> quota 0
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic quotas (the pretraining mixture dial):
+    40 en / 25 de / 10 fr, languages outside the recipe dropped. Rank =
+    row_number over (hash bucket, doc_id) per stratum — same md5 bucket
+    as sample_by_hash, so it's engine-exact; the constant bound is pushed
+    as a WindowGroupLimit (no full per-stratum sort at scale)."""
+    return CUR.stratified_sample(
+        _docs(spark, sf_dir), _STRAT_QUOTAS, strata_col="lang",
+        key_col="doc_id", seed=7,
+    ).select("doc_id", "lang")
+
+
+_STRAT_CASE = " ".join(
+    f"WHEN '{k}' THEN {n}" for k, n in _STRAT_QUOTAS.items()
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ({_H_SQL.format(s="doc_id::VARCHAR || '_7'")}) % {1 << 20} AS bucket
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rnk
+  FROM b
+)
+SELECT doc_id, lang FROM r
+WHERE rnk <= CASE lang {_STRAT_CASE} ELSE 0 END
+"""
+
+
+_PACK_CAP = 256
+
+
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style token-stream packing: per-language streams concatenated
+    in doc_id order and cut every 256 tokens; docs straddle boundaries.
+    The Spark side runs the DISTRIBUTED two-phase prefix sum
+    (operators/packing.py — per-partition local cumsum + broadcast
+    offsets, no single-task per-stream sort); the oracle is the naive
+    window SQL, which is exactly what the distributed plan must equal."""
+    return PK.pack_chunks(
+        _docs(spark, sf_dir), _PACK_CAP, stream_col="lang"
+    )
+
+
+SQL_PACK_CHUNKS = f"""
+WITH toks AS (
+  SELECT lang AS stream, doc_id,
+         len({_TOKENS_SQL.format(col='text')})::BIGINT AS n_tok
+  FROM documents WHERE lang IS NOT NULL
+),
+cum AS (
+  SELECT stream, doc_id, n_tok,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY stream ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS start
+  FROM toks WHERE n_tok > 0
+),
+x AS (
+  SELECT stream, doc_id, n_tok, start,
+         unnest(range(start // {_PACK_CAP},
+                      (start + n_tok - 1) // {_PACK_CAP} + 1)) AS chunk_id
+  FROM cum
+)
+SELECT stream, chunk_id, doc_id,
+       greatest(0, chunk_id * {_PACK_CAP} - start)::INT AS begin_tok,
+       least(n_tok, (chunk_id + 1) * {_PACK_CAP} - start)::INT AS end_tok
+FROM x
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 7th doc's mutated near-copy
+    (first token -> 'zzz', the _docs2 mutation) plays the eval set, so
+    known 5-gram overlaps exist; n_hits counts distinct contaminated
+    5-grams per training doc. The eval shingle set is broadcast — the
+    corpus side never shuffles."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text")
+    )
+    return CUR.decontaminate(d, bench, ngram=5)
+
+
+SQL_DECONTAMINATE = f"""
+WITH doc_sh AS (
+  SELECT doc_id,
+         unnest({_hashed_shingles_sql(_TOKENS_SQL.format(col='text'), 5)}) AS h
+  FROM documents
+),
+bench AS (
+  SELECT regexp_replace(text, '^\\S+', 'zzz') AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+bench_sh AS (
+  SELECT DISTINCT
+         unnest({_hashed_shingles_sql(_TOKENS_SQL.format(col='text'), 5)}) AS h
+  FROM bench
+)
+SELECT doc_id, count(*)::BIGINT AS n_hits
+FROM doc_sh JOIN bench_sh USING (h)
+GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2393,6 +2505,9 @@ QUERIES = {
     "vocab_topk": (q_vocab_topk, SQL_VOCAB_TOPK),
     "quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "sample_by_hash": (q_sample_by_hash, SQL_SAMPLE_BY_HASH),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

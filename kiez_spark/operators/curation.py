@@ -10,6 +10,19 @@ exact DuckDB twins in the driver oracle gate:
                   partitioning, executor count, or engine (the md5-based
                   hash is the same cross-engine primitive the minhash
                   ladder uses, functions/text.py token_hash).
+- stratified_sample: deterministic per-stratum quotas (rank-by-hash
+                  within each stratum) — the per-language / per-source
+                  mixture control a pretraining data recipe needs.
+- decontaminate:  benchmark-overlap flagging (shared word n-grams vs a
+                  broadcast eval-set shingle index) — test-set leakage
+                  detection before training.
+
+Everything keeps an exact DuckDB twin in the driver oracle gate. The
+sampling/splitting ops are pure column expressions (whole-stage codegen,
+no shuffle); stratified_sample adds one strata-keyed exchange with the
+rank filter pushed as a group limit, and decontaminate's only join is a
+broadcast of the (small) benchmark shingle set — the 100 TB document side
+never shuffles.
 """
 
 from __future__ import annotations
@@ -75,6 +88,95 @@ def sample_by_hash(
         raise ValueError(f"rate must be in [0, 1], got {rate}")
     cut = int(rate * _SAMPLE_BUCKETS)
     return df.filter(_hash_bucket(key_col, seed) < F.lit(cut))
+
+
+def stratified_sample(
+    df: DataFrame,
+    quotas: int | dict[str, int],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Keep at most N rows per stratum, chosen deterministically: rows
+    rank within their stratum by (stable hash, key) and ranks ≤ quota
+    survive. ``quotas`` is one int for every stratum or a
+    {stratum: n} dict (strata absent from the dict keep 0 rows).
+
+    This is the mixture-control sampler of a data recipe ("200k docs per
+    language"): like sample_by_hash the choice is a pure function of
+    (key, seed) — stable across runs and cluster layouts — but with an
+    exact per-stratum count instead of a rate. One exchange on
+    ``strata_col``; the constant rank bound is pushed as a group limit
+    (WindowGroupLimit), so no stratum is ever fully sorted at scale.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(quotas, int):
+        if quotas < 0:
+            raise ValueError(f"quota must be >= 0, got {quotas}")
+        max_n, quota_expr = quotas, F.lit(quotas)
+    else:
+        if not quotas:
+            raise ValueError("quotas dict must be non-empty")
+        if any(n < 0 for n in quotas.values()):
+            raise ValueError(f"quotas must be >= 0: {quotas}")
+        max_n = max(quotas.values())
+        quota_expr = F.lit(0)
+        for stratum, n in quotas.items():
+            quota_expr = F.when(
+                F.col(strata_col) == stratum, n
+            ).otherwise(quota_expr)
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_bucket(key_col, seed), F.col(key_col)
+    )
+    rank = F.row_number().over(w)
+    return (
+        df.withColumn("__r", rank)
+        .filter(F.col("__r") <= max_n)  # constant bound -> group limit
+        .filter(F.col("__r") <= quota_expr)
+        .drop("__r")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    ngram: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, n_hits): training documents sharing at least one word
+    ``ngram``-gram with the benchmark/eval set ``bench`` — the test-set
+    decontamination pass (GPT-3 appendix C / PaLM style: 8-13 gram
+    overlap; the default is lower because synthetic fixtures are short).
+
+    ``n_hits`` counts the DISTINCT contaminated n-grams per document;
+    docs with no overlap are absent (left-anti against this result is the
+    clean corpus). The benchmark's distinct shingle hashes are broadcast
+    — at 100 TB the corpus side is never shuffled, never collected; per
+    doc the shingle set is deduped before the join so the probe stays
+    one row per (doc, distinct-gram).
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
+    bcol = bench_text_col or text_col
+
+    def _sh(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        tok = T.tokens(F.col(col))
+        hashes = F.array_distinct(
+            F.transform(T.shingles(tok, ngram), T.token_hash)
+        )
+        cols = [F.col(id_col).cast("bigint").alias("doc_id")] if keep_id else []
+        return frame.select(*cols, F.explode(hashes).alias("h"))
+
+    bench_sh = _sh(bench, bcol, keep_id=False).distinct()
+    return (
+        _sh(df, text_col, keep_id=True)
+        .join(F.broadcast(bench_sh), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
 
 
 def quality_filter(

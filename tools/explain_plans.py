@@ -284,6 +284,49 @@ def main() -> int:
         dump,
     )
 
+    # 15. stratified_sample: constant rank bound pushed as a group limit
+    #     on the single strata exchange — no stratum is fully sorted
+    p15 = plan_of(CUR.stratified_sample(docs, 10, strata_col="lang"))
+    ok &= check(
+        "stratified_sample: WindowGroupLimit on the lang exchange",
+        p15,
+        ["WindowGroupLimit", "hashpartitioning(lang"],
+        dump,
+    )
+
+    # 16. decontaminate: the eval shingle set is the broadcast side; the
+    #     corpus never shuffles into a sort-merge join
+    bench16 = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    p16 = plan_of(CUR.decontaminate(docs, bench16, ngram=5))
+    ok &= check(
+        "decontaminate: broadcast eval-shingle join",
+        p16,
+        ["BroadcastHashJoin"],
+        dump,
+    )
+    assert "SortMergeJoin" not in p16, "corpus side must not shuffle-join"
+
+    # 17. prefix_sum (pack_chunks core): the two-phase plan — python
+    #     local-cumsum stage + broadcast offset join — with NO window
+    #     operator anywhere (a Window node would mean the naive
+    #     single-task-per-stream sort snuck back in)
+    from kiez_spark.operators import packing as PK
+
+    toks17 = docs.select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("n")
+    )
+    p17 = plan_of(
+        PK.prefix_sum(toks17, "lang", "doc_id", "n", checkpoint=False)
+    )
+    ok &= check(
+        "prefix_sum: mapInPandas + broadcast offsets, no Window",
+        p17,
+        ["MapInPandas", "BroadcastHashJoin"],
+        dump,
+    )
+    assert "Window" not in p17, "prefix_sum must not plan a stream window"
+    spark.catalog.clearCache()  # release the checkpoint=False persist
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
