@@ -2456,6 +2456,153 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------- record-linkage string tier
+# (operators/er.py) Cross-engine contract: lev/gap/jw_micro/n_shared are
+# integers (jw_micro = floor(jw * 1e6) of a bit-identical double — see the
+# er.py module docstring for the DuckDB jaro_winkler_similarity parity
+# proof); only tfidf cosine emits a rounded double (hubness precedent).
+
+_ER_KEYED_SQL = """
+keyed AS (
+  SELECT doc_id, right(text, 16) AS blk, substr(text, 1, 24) AS key
+  FROM docs2
+),
+ok AS (SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= 64)
+"""
+
+
+def q_lev_blocked_pairs(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return ER.levenshtein_pairs(
+        _docs2(spark, sf_dir),
+        block="right(text, 16)",
+        key="substr(text, 1, 24)",
+        max_dist=8,
+        max_block=64,
+    )
+
+
+SQL_LEV_BLOCKED_PAIRS = f"""
+WITH {_DOCS2_SQL},
+{_ER_KEYED_SQL}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.key, b.key)::INT AS lev
+FROM keyed a
+JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+JOIN ok ON a.blk = ok.blk
+WHERE levenshtein(a.key, b.key) <= 8
+"""
+
+
+def q_jaro_winkler_pairs(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return ER.jaro_winkler_pairs(
+        _docs2(spark, sf_dir),
+        block="right(text, 16)",
+        key="substr(text, 1, 24)",
+        threshold=0.8,
+        max_block=64,
+    )
+
+
+SQL_JARO_WINKLER_PAIRS = f"""
+WITH {_DOCS2_SQL},
+{_ER_KEYED_SQL}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(floor(jaro_winkler_similarity(a.key, b.key) * 1e6) AS BIGINT)
+         AS jw_micro
+FROM keyed a
+JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+JOIN ok ON a.blk = ok.blk
+WHERE jaro_winkler_similarity(a.key, b.key) >= 0.8
+"""
+
+
+def _packed_key_sql(key: str) -> str:
+    """SQL twin of operators/er._packed_key_expr (7-char packed ASCII)."""
+    terms = " + ".join(
+        f"ascii(substr(rpad({key}, 7, ' '), {i}, 1))::BIGINT"
+        f" * {128 ** (7 - i)}"
+        for i in range(1, 8)
+    )
+    return "(" + terms + ")"
+
+
+def q_snm_pairs(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return ER.snm_pairs(
+        _docs(spark, sf_dir), key="substr(text, 1, 32)", window=5
+    )
+
+
+SQL_SNM_PAIRS = f"""
+WITH keyed AS (
+  SELECT doc_id, substr(text, 1, 32) AS key FROM documents
+),
+ranked AS (
+  SELECT doc_id, key,
+         row_number() OVER (ORDER BY {_packed_key_sql('key')}, doc_id)
+           AS rn
+  FROM keyed
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       (b.rn - a.rn)::INT AS gap,
+       levenshtein(a.key, b.key)::INT AS lev
+FROM ranked a
+JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
+"""
+
+
+def q_tfidf_cosine_pairs(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return ER.tfidf_cosine_pairs(
+        _docs2(spark, sf_dir),
+        shingle_n=3,
+        df_cap=64,
+        threshold=0.35,
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH {_DOCS2_SQL},
+terms AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           {_shingles_sql(_TOKENS_SQL.format(col='text'))},
+           x -> {_H_SQL.format(s='x')})) AS h
+  FROM docs2
+),
+tf AS (SELECT doc_id, h, count(*) AS tf FROM terms GROUP BY doc_id, h),
+dft AS (SELECT h, count(*) AS df_t FROM tf GROUP BY h),
+n AS (SELECT count(*) AS n_docs FROM docs2),
+postings AS (
+  SELECT tf.doc_id, tf.h,
+         tf.tf * (ln((n.n_docs + 1)::DOUBLE / (dft.df_t + 1)::DOUBLE)
+                  + 1.0) AS w
+  FROM tf JOIN dft ON tf.h = dft.h, n
+  WHERE dft.df_t <= 64
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm
+          FROM postings GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         count(*) AS n_shared, sum(a.w * b.w) AS dot
+  FROM postings a JOIN postings b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d.a_id, d.b_id, d.n_shared::BIGINT AS n_shared,
+       round(d.dot / (na.norm * nb.norm), 6) AS cos
+FROM dots d
+JOIN norms na ON d.a_id = na.doc_id
+JOIN norms nb ON d.b_id = nb.doc_id
+WHERE d.dot / (na.norm * nb.norm) >= 0.35
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2508,6 +2655,10 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "pack_chunks": (q_pack_chunks, SQL_PACK_CHUNKS),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "lev_blocked_pairs": (q_lev_blocked_pairs, SQL_LEV_BLOCKED_PAIRS),
+    "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
+    "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
+    "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

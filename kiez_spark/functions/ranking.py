@@ -31,10 +31,15 @@ def dense_row_number(
     out_col: str = "rn",
     buckets: int | None = None,
     zero_based: bool = True,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Add ``out_col`` = global row number of ``df`` ordered by
-    ``order_col`` (ties broken arbitrarily-but-deterministically only if
-    ``order_col`` values are unique — callers must pass a unique column).
+    ``(order_col, tiebreak_col)``. Without ``tiebreak_col`` the order is
+    deterministic only if ``order_col`` values are unique — callers must
+    pass a unique column. With it, equal ``order_col`` values are ordered
+    by ``tiebreak_col`` — safe across bucket boundaries because bucketing
+    uses strict ``>`` against literal bounds, so every row of one
+    ``order_col`` value lands in the same bucket.
 
     NULL ``order_col`` values sort FIRST (bucket -1, matching
     ``Window.orderBy``'s asc-nulls-first default); their relative order is
@@ -68,7 +73,8 @@ def dense_row_number(
     offsets = counts.select(
         "_bkt", F.coalesce(F.sum("count").over(offw), F.lit(0)).alias("_off")
     )
-    lw = Window.partitionBy("_bkt").orderBy(order_col)
+    order_keys = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    lw = Window.partitionBy("_bkt").orderBy(*order_keys)
     base = F.row_number().over(lw) - (1 if zero_based else 0) + F.col("_off")
     return (
         dfb.join(F.broadcast(offsets), "_bkt")

