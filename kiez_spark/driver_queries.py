@@ -2603,6 +2603,231 @@ WHERE d.dot / (na.norm * nb.norm) >= 0.35
 """
 
 
+# ---------------------------------------- ER wave 2: phonetic / FS / meta
+# Cross-engine contract: phonetic keys are pure identical string-function
+# chains on both engines; FS weights are driver-computed literal doubles
+# summed in fixed order (floor-micro output — no cross-engine log());
+# blocking-quality ratios are integer 1e6-scaled floor divisions; CBS
+# weights and ranks are integers.
+
+
+def q_phonetic_blocks(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", ER.phonetic_key(F.col("text")).alias("pkey")
+    )
+
+
+SQL_PHONETIC_BLOCKS = r"""
+WITH w AS (
+  SELECT doc_id, upper(regexp_extract(text, '^[A-Za-z]+')) AS w
+  FROM documents
+),
+c AS (
+  -- per-digit run collapse: RE2 (DuckDB) has no backreferences, so
+  -- '(.)\1+' silently never matches — 6 chained plain regexps instead
+  SELECT doc_id, w,
+         replace(substr(
+           regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+           translate(w, 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+                        '00000000111122222222334556'),
+           '1{2,}', '1', 'g'), '2{2,}', '2', 'g'), '3{2,}', '3', 'g'),
+           '4{2,}', '4', 'g'), '5{2,}', '5', 'g'), '6{2,}', '6', 'g'),
+           2), '0', '') AS digits
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN w = '' THEN '0000'
+            ELSE substr(w, 1, 1) || rpad(substr(digits, 1, 3), 3, '0')
+       END AS pkey
+FROM c
+"""
+
+
+# field -> (m, u): P(agree | match), P(agree | non-match). Driver-side
+# literals; both engines sum the same doubles in the same order.
+_FS_FIELDS = {
+    "lang_eq": (0.95, 0.2),
+    "source_eq": (0.9, 0.05),
+    "prefix_eq": (0.85, 0.02),
+}
+
+
+def _fs_pairs(spark, sf_dir):
+    """Blocked docs2 candidate pairs with the three FS agreement booleans
+    (attributes joined back from the base documents row via id % 100000 —
+    the mutated near-copy inherits its base's lang/source)."""
+    from kiez_spark.operators import er as ER
+
+    pairs = ER.blocked_pairs(
+        _docs2(spark, sf_dir),
+        block="right(text, 16)",
+        key="substr(text, 1, 24)",
+        max_block=64,
+    )
+    attrs = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    aa = attrs.select(
+        F.col("doc_id").alias("_aid"),
+        F.col("lang").alias("_alang"),
+        F.col("source").alias("_asrc"),
+    )
+    bb = attrs.select(
+        F.col("doc_id").alias("_bid"),
+        F.col("lang").alias("_blang"),
+        F.col("source").alias("_bsrc"),
+    )
+    return (
+        pairs.withColumn("_aid", F.col("a_id") % 100000)
+        .withColumn("_bid", F.col("b_id") % 100000)
+        .join(aa, "_aid")
+        .join(bb, "_bid")
+        .withColumn("lang_eq", F.col("_alang") == F.col("_blang"))
+        .withColumn("source_eq", F.col("_asrc") == F.col("_bsrc"))
+        .withColumn(
+            "prefix_eq",
+            F.substring("a_key", 1, 12) == F.substring("b_key", 1, 12),
+        )
+    )
+
+
+def q_fs_match_scores(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    return ER.fs_scores(_fs_pairs(spark, sf_dir), _FS_FIELDS).select(
+        "a_id", "b_id", "weight_micro"
+    )
+
+
+def _fs_sql_weight() -> str:
+    import math as _m
+
+    cond = {
+        "lang_eq": "al.lang = bl.lang",
+        "source_eq": "al.source = bl.source",
+        "prefix_eq": "substr(a.key, 1, 12) = substr(b.key, 1, 12)",
+    }
+    terms = ["0.0"]
+    for name, (m, u) in _FS_FIELDS.items():
+        wa = repr(_m.log2(m / u))
+        wd = repr(_m.log2((1.0 - m) / (1.0 - u)))
+        terms.append(f"CASE WHEN {cond[name]} THEN {wa} ELSE {wd} END")
+    return " + ".join(terms)
+
+
+SQL_FS_MATCH_SCORES = f"""
+WITH {_DOCS2_SQL},
+{_ER_KEYED_SQL}
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(floor(1e6 * ({_fs_sql_weight()})) AS BIGINT) AS weight_micro
+FROM keyed a
+JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+JOIN ok ON a.blk = ok.blk
+JOIN documents al ON al.doc_id = a.doc_id % 100000
+JOIN documents bl ON bl.doc_id = b.doc_id % 100000
+"""
+
+
+def q_fs_em_posteriors(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    pairs = _fs_pairs(spark, sf_dir)
+    return ER.fs_em_posteriors(
+        spark, pairs, ["lang_eq", "source_eq", "prefix_eq"], n_iter=30
+    )
+
+
+def q_blocking_quality(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    cand = ER.blocked_pairs(
+        _docs2(spark, sf_dir),
+        block="right(text, 16)",
+        key="substr(text, 1, 24)",
+        max_block=64,
+    ).select("a_id", "b_id")
+    docs = _docs(spark, sf_dir)
+    gold = docs.select(
+        F.col("doc_id").alias("a_id"),
+        (F.col("doc_id") + 100000).alias("b_id"),
+    )
+    n_records = 2 * docs.count()
+    return ER.blocking_quality(cand, gold, n_records)
+
+
+SQL_BLOCKING_QUALITY = f"""
+WITH {_DOCS2_SQL},
+{_ER_KEYED_SQL},
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM keyed a
+  JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN ok ON a.blk = ok.blk
+),
+gold AS (SELECT doc_id AS a_id, doc_id + 100000 AS b_id FROM documents),
+s AS (
+  SELECT (SELECT count(*) FROM cand) AS n_cand,
+         (SELECT count(*) FROM gold) AS n_gold,
+         (SELECT count(*) FROM cand JOIN gold USING (a_id, b_id))
+           AS n_found,
+         (SELECT 2 * count(*) FROM documents) AS nr
+)
+SELECT n_cand::BIGINT AS n_candidates,
+       n_gold::BIGINT AS n_gold,
+       n_found::BIGINT AS n_found,
+       (1000000 * n_found // n_gold)::BIGINT AS pair_completeness_micro,
+       ((1000000 * (nr * (nr - 1) // 2 - n_cand))
+          // (nr * (nr - 1) // 2))::BIGINT AS reduction_ratio_micro
+FROM s
+"""
+
+
+def q_metablocking_pairs(spark, sf_dir):
+    from kiez_spark.operators import er as ER
+
+    d2 = _docs2(spark, sf_dir)
+    # 3-gram shingles: with the corpus's ~30-word vocab, 2-grams average
+    # df ~44 and the cap would starve the index; trigrams are sparse
+    keys = F.transform(
+        T.shingles(T.tokens(F.col("text")), 3), T.token_hash
+    )
+    return ER.metablocking_pairs(
+        d2, keys, df_cap=64, min_cbs=3, top_n=5
+    )
+
+
+SQL_METABLOCKING_PAIRS = f"""
+WITH {_DOCS2_SQL},
+posting AS (
+  SELECT DISTINCT doc_id AS id, k
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             {_shingles_sql(_TOKENS_SQL.format(col='text'), 3)},
+             x -> {_H_SQL.format(s='x')})) AS k
+    FROM docs2
+  )
+),
+ok AS (SELECT k FROM posting GROUP BY k HAVING count(*) <= 64),
+pp AS (SELECT p.id, p.k FROM posting p JOIN ok USING (k)),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, count(*) AS cbs
+  FROM pp a JOIN pp b ON a.k = b.k AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(*) >= 3
+)
+SELECT a_id, b_id, cbs::INT AS cbs, rank::INT AS rank
+FROM (
+  SELECT a_id, b_id, cbs,
+         row_number() OVER (PARTITION BY a_id ORDER BY cbs DESC, b_id)
+           AS rank
+  FROM pairs
+)
+WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2659,6 +2884,11 @@ QUERIES = {
     "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
     "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
     "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS),
+    "phonetic_blocks": (q_phonetic_blocks, SQL_PHONETIC_BLOCKS),
+    "fs_match_scores": (q_fs_match_scores, SQL_FS_MATCH_SCORES),
+    "fs_em_posteriors": (q_fs_em_posteriors, None),
+    "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
+    "metablocking_pairs": (q_metablocking_pairs, SQL_METABLOCKING_PAIRS),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
     "hash_split": (q_hash_split, SQL_HASH_SPLIT),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),

@@ -38,6 +38,12 @@ __all__ = [
     "jaro_winkler_pairs",
     "snm_pairs",
     "tfidf_cosine_pairs",
+    "phonetic_key",
+    "fs_scores",
+    "fs_em",
+    "fs_em_posteriors",
+    "blocking_quality",
+    "metablocking_pairs",
 ]
 
 
@@ -356,4 +362,266 @@ def tfidf_cosine_pairs(
             F.col("n_shared").cast("bigint").alias("n_shared"),
             F.round("cos", 6).alias("cos"),
         )
+    )
+
+
+# --------------------------------------------------------------- phonetics
+
+# simplified-soundex letter -> code map (classic soundex groups, but
+# WITHOUT the H/W adjacency rule: runs collapse before zero-stripping, on
+# the raw code string). Defining our own rule keeps the Spark and DuckDB
+# expressions semantically identical — engine-builtin soundex() variants
+# disagree on exactly the H/W corner.
+_PHONETIC_FROM = "AEIOUYHWBFPVCGJKQSXZDTLMNR"
+_PHONETIC_TO = "00000000111122222222334556"
+
+
+def phonetic_key(col: F.Column) -> F.Column:
+    """Simplified-soundex phonetic key of the first A-Za-z word of
+    ``col``: first letter + first 3 non-zero collapsed codes, '0'-padded.
+
+    Pure column expressions (upper/translate/regexp/rpad) with an exact
+    SQL twin in driver_queries.SQL fragments — no UDF, stays inside
+    whole-stage codegen. Empty/non-alpha input yields '0000'.
+    """
+    w = F.upper(F.regexp_extract(col, "^[A-Za-z]+", 0))
+    code = F.translate(w, _PHONETIC_FROM, _PHONETIC_TO)
+    # collapse runs per digit (6 chained regexps, NO backreference: the
+    # DuckDB oracle runs RE2, which silently never matches `(.)\1+`)
+    collapsed = code
+    for d in "123456":
+        collapsed = F.regexp_replace(collapsed, d + "{2,}", d)
+    digits = F.translate(F.substring(collapsed, 2, 1000), "0", "")
+    return F.when(w == "", F.lit("0000")).otherwise(
+        F.concat(F.substring(w, 1, 1), F.rpad(F.substring(digits, 1, 3), 3, "0"))
+    )
+
+
+# ------------------------------------------------- Fellegi-Sunter scoring
+
+import math
+
+
+def _fs_weights(fields: dict) -> dict:
+    """Per-field (agree_weight, disagree_weight) = log2(m/u),
+    log2((1-m)/(1-u)) computed ONCE driver-side so both engines only sum
+    the identical literal doubles (in field order) — IEEE addition of
+    equal literals is bit-exact; no cross-engine log() is ever taken."""
+    out = {}
+    for name, (m, u) in fields.items():
+        if not (0.0 < u < m < 1.0):
+            raise ValueError(f"field {name}: need 0 < u < m < 1, got m={m} u={u}")
+        out[name] = (math.log2(m / u), math.log2((1.0 - m) / (1.0 - u)))
+    return out
+
+
+def fs_scores(pairs: DataFrame, fields: dict) -> DataFrame:
+    """Fellegi-Sunter match weight over candidate pairs.
+
+    ``pairs`` must already carry one BOOLEAN agreement column per entry of
+    ``fields`` (name -> (m, u) conditional agreement probabilities; the
+    reference resolves entities purely in embedding space — this is the
+    probabilistic record-linkage tier of the classic Fellegi-Sunter 1969
+    model). Adds ``weight_micro = floor(1e6 * sum_i w_i)`` where w_i is
+    the literal agree/disagree log2 weight — BIGINT, hash-exact across
+    engines (see _fs_weights). Null agreements count as disagreement.
+
+    Scale: a single projection over the (already bounded) candidate-pair
+    set; no shuffle, no UDF.
+    """
+    w = _fs_weights(fields)
+    total = F.lit(0.0)
+    for name, (wa, wd) in w.items():
+        total = total + F.when(
+            F.coalesce(F.col(name), F.lit(False)), F.lit(wa)
+        ).otherwise(F.lit(wd))
+    return pairs.withColumn(
+        "weight_micro", F.floor(total * F.lit(1e6)).cast("bigint")
+    )
+
+
+def _pattern_stats(pairs: DataFrame, field_cols: list) -> DataFrame:
+    """(pattern bit-cols..., n_pairs) — the sufficient statistics of the
+    FS mixture: ONE shuffle of the candidate pairs down to <= 2^k rows."""
+    bits = [
+        F.coalesce(F.col(c), F.lit(False)).cast("int").alias(c)
+        for c in field_cols
+    ]
+    return pairs.select(*bits).groupBy(*field_cols).agg(
+        F.count("*").alias("n_pairs")
+    )
+
+
+def fs_em(
+    pairs: DataFrame,
+    field_cols: list,
+    n_iter: int = 30,
+    p0: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+):
+    """EM estimate of the Fellegi-Sunter parameters (p, m_i, u_i).
+
+    The distributed part is one aggregation to the <= 2^k agreement
+    patterns (_pattern_stats); EM then iterates DRIVER-SIDE on that tiny
+    sufficient-statistics table — at 100 TB the iteration cost is
+    O(2^k * n_iter) regardless of corpus size, the canonical
+    aggregate-once / iterate-on-stats design. Deterministic: fixed
+    iteration count, fixed float64 ops, no randomness.
+
+    Returns (params, patterns): params = {"p": .., "m": {f: ..},
+    "u": {f: ..}}, patterns = list of (bits tuple, n_pairs, posterior).
+    """
+    import numpy as np
+
+    rows = _pattern_stats(pairs, field_cols).collect()
+    if not rows:
+        raise ValueError("fs_em: no candidate pairs")
+    G = np.array([[r[c] for c in field_cols] for r in rows], dtype=np.float64)
+    n = np.array([r["n_pairs"] for r in rows], dtype=np.float64)
+    k = len(field_cols)
+    p = float(p0)
+    m = np.full(k, float(m0))
+    u = np.full(k, float(u0))
+    eps = 1e-9
+    for _ in range(int(n_iter)):
+        lm = G @ np.log(m) + (1.0 - G) @ np.log(1.0 - m)
+        lu = G @ np.log(u) + (1.0 - G) @ np.log(1.0 - u)
+        num = p * np.exp(lm)
+        den = num + (1.0 - p) * np.exp(lu)
+        w = num / np.maximum(den, eps)
+        tot = float((n * w).sum())
+        p = min(max(tot / float(n.sum()), eps), 1.0 - eps)
+        m = np.clip((G.T @ (n * w)) / max(tot, eps), eps, 1.0 - eps)
+        nu = float((n * (1.0 - w)).sum())
+        u = np.clip((G.T @ (n * (1.0 - w))) / max(nu, eps), eps, 1.0 - eps)
+    params = {
+        "p": p,
+        "m": {f: float(m[i]) for i, f in enumerate(field_cols)},
+        "u": {f: float(u[i]) for i, f in enumerate(field_cols)},
+    }
+    lm = G @ np.log(m) + (1.0 - G) @ np.log(1.0 - m)
+    lu = G @ np.log(u) + (1.0 - G) @ np.log(1.0 - u)
+    post = p * np.exp(lm) / np.maximum(p * np.exp(lm) + (1 - p) * np.exp(lu), eps)
+    patterns = [
+        (tuple(int(x) for x in G[i]), int(n[i]), float(post[i]))
+        for i in range(len(rows))
+    ]
+    return params, patterns
+
+
+def fs_em_posteriors(
+    spark, pairs: DataFrame, field_cols: list, **em_kwargs
+) -> DataFrame:
+    """DataFrame form of fs_em for the driver registry: one row per
+    agreement pattern with (bits..., n_pairs, posterior_micro). Rows-only
+    gate (EM is not SQL-expressible); deterministic ordering baked in by
+    the driver's sorted compare."""
+    _, patterns = fs_em(pairs, field_cols, **em_kwargs)
+    rows = [
+        tuple(bits) + (n, int(math.floor(post * 1e6)))
+        for bits, n, post in patterns
+    ]
+    schema = (
+        ", ".join(f"{c} int" for c in field_cols)
+        + ", n_pairs bigint, posterior_micro bigint"
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------- blocking-quality metrics
+
+
+def blocking_quality(
+    cand: DataFrame,
+    gold: DataFrame,
+    n_records: int,
+) -> DataFrame:
+    """One-row blocking audit: candidate count, gold count, recovered
+    count, pair-completeness and reduction-ratio in exact micro units.
+
+    cand/gold carry (a_id, b_id) with a_id < b_id. All outputs are
+    BIGINT (ratios via integer 1e6-scaled DIV) — hash-exact across
+    engines, immune to the rounded-double boundary. The intersection is
+    an equi-join on the pair key; at scale both sides are already
+    bounded pair sets (never all-pairs).
+    """
+    c = cand.select("a_id", "b_id")
+    g = gold.select("a_id", "b_id")
+    found = c.join(g, ["a_id", "b_id"]).count()
+    n_cand = c.count()
+    n_gold = g.count()
+    total = n_records * (n_records - 1) // 2
+    row = [
+        (
+            int(n_cand),
+            int(n_gold),
+            int(found),
+            int(1000000 * found // n_gold) if n_gold else 0,
+            int(1000000 * (total - n_cand) // total) if total else 0,
+        )
+    ]
+    spark = cand.sparkSession
+    return spark.createDataFrame(
+        row,
+        "n_candidates bigint, n_gold bigint, n_found bigint,"
+        " pair_completeness_micro bigint, reduction_ratio_micro bigint",
+    )
+
+
+# -------------------------------------------------------- meta-blocking
+
+
+def metablocking_pairs(
+    df: DataFrame,
+    keys: F.Column,
+    id_col: str = "doc_id",
+    df_cap: int = 64,
+    min_cbs: int = 2,
+    top_n: int | None = 10,
+) -> DataFrame:
+    """Meta-blocking with common-block-scheme (CBS) weighting: records
+    sharing >= ``min_cbs`` block keys become pairs, optionally pruned to
+    each record's ``top_n`` strongest partners (weight-ranked).
+
+    ``keys`` is an array<...> column expression producing each record's
+    block keys (e.g. shingle hashes). Classic Papadakis-style
+    meta-blocking re-expressed as: explode distinct (id, key) ->
+    df-capped inverted index (keys on more than ``df_cap`` records carry
+    no discriminative signal and would cost O(df^2) — same guard as
+    ngram_jaccard_pairs) -> self-join -> count shared keys per pair ->
+    per-record rank window (WindowGroupLimit pushes the top_n).
+    Output (a_id, b_id, cbs, rank) — all integers, hash-exact.
+    """
+    from pyspark.sql import Window
+
+    posting = (
+        df.select(F.col(id_col).alias("_id"), F.explode(F.array_distinct(keys)).alias("k"))
+        .distinct()
+    )
+    ok = (
+        posting.groupBy("k")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= df_cap)
+        .select("k")
+    )
+    posting = posting.join(ok, "k")
+    a = posting.select(F.col("_id").alias("a_id"), "k")
+    b = posting.select(F.col("_id").alias("b_id"), "k")
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cbs"))
+        .filter(F.col("cbs") >= int(min_cbs))
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cbs"), F.asc("b_id"))
+    out = pairs.withColumn("rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= int(top_n))
+    return out.select(
+        "a_id",
+        "b_id",
+        F.col("cbs").cast("int").alias("cbs"),
+        F.col("rank").cast("int").alias("rank"),
     )

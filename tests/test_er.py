@@ -136,3 +136,98 @@ def test_tfidf_cosine_duplicates_score_one(spark):
     by_pair = {(r.a_id, r.b_id): r for r in got}
     assert by_pair[(0, 1)].cos == pytest.approx(1.0, abs=1e-6)
     assert (0, 2) not in by_pair and (1, 2) not in by_pair
+
+
+# ----------------------------------------- wave 2: phonetic / FS / meta
+
+
+def test_phonetic_key_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "small fast"),   # SMALL -> 25044 -> 2504 -> '54'  -> S540
+            (1, "scan table"),   # SCAN  -> 2205  -> 205  -> '5'   -> S500
+            (2, "sass"),         # SASS  -> 2022  -> 202  -> '2'   -> S200
+            (3, "a"),            # A     -> 0     -> 0    -> ''    -> A000
+            (4, "123 nope"),     # no leading alpha word -> 0000
+            (5, "pfister"),      # PF run spans pos 1 -> collapse -> P236
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.pkey
+        for r in df.select(
+            "doc_id", ER.phonetic_key(F.col("text")).alias("pkey")
+        ).collect()
+    }
+    assert got == {0: "S540", 1: "S500", 2: "S200", 3: "A000",
+                   4: "0000", 5: "P236"}
+
+
+def test_fs_scores_hand_computed(spark):
+    import math
+
+    fields = {"f1": (0.9, 0.1), "f2": (0.8, 0.2)}
+    df = spark.createDataFrame(
+        [(1, 2, True, False), (3, 4, None, True)],
+        "a_id bigint, b_id bigint, f1 boolean, f2 boolean",
+    )
+    got = {
+        (r.a_id, r.b_id): r.weight_micro
+        for r in ER.fs_scores(df, fields).collect()
+    }
+    w1a, w1d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert got[(1, 2)] == math.floor(1e6 * (0.0 + w1a + w2d))
+    assert got[(3, 4)] == math.floor(1e6 * (0.0 + w1d + w2a))  # null = disagree
+
+
+def test_fs_scores_rejects_bad_mu(spark):
+    df = spark.createDataFrame([(1, 2, True)], "a_id bigint, b_id bigint, f boolean")
+    with pytest.raises(ValueError):
+        ER.fs_scores(df, {"f": (0.1, 0.9)})
+
+
+def test_fs_em_separates_planted_mixture(spark):
+    # 100 clear matches (agree everywhere), 900 clear non-matches
+    rows = [(i, i + 10000, True, True, True) for i in range(100)]
+    rows += [(i, i + 20000, False, False, False) for i in range(900)]
+    pairs = spark.createDataFrame(
+        rows, "a_id bigint, b_id bigint, f1 boolean, f2 boolean, f3 boolean"
+    )
+    params, patterns = ER.fs_em(pairs, ["f1", "f2", "f3"], n_iter=40)
+    assert params["p"] == pytest.approx(0.1, abs=0.02)
+    for f in ("f1", "f2", "f3"):
+        assert params["m"][f] > 0.95 and params["u"][f] < 0.05
+    post = {bits: p for bits, _, p in patterns}
+    assert post[(1, 1, 1)] > 0.99 and post[(0, 0, 0)] < 0.01
+    # DataFrame form mirrors the tuples
+    pdf = ER.fs_em_posteriors(spark, pairs, ["f1", "f2", "f3"], n_iter=40)
+    got = {(r.f1, r.f2, r.f3): r.posterior_micro for r in pdf.collect()}
+    assert got[(1, 1, 1)] > 990000 and got[(0, 0, 0)] < 10000
+
+
+def test_blocking_quality_exact_counts(spark):
+    cand = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "a_id bigint, b_id bigint"
+    )
+    gold = spark.createDataFrame([(1, 2), (7, 8)], "a_id bigint, b_id bigint")
+    row = ER.blocking_quality(cand, gold, n_records=10).collect()[0]
+    assert (row.n_candidates, row.n_gold, row.n_found) == (3, 2, 1)
+    assert row.pair_completeness_micro == 500000  # 1/2
+    assert row.reduction_ratio_micro == 1000000 * (45 - 3) // 45
+
+
+def test_metablocking_cbs_and_rank(spark):
+    # doc 0 and 1 share keys {10, 11, 12}; doc 2 shares only {10} with them;
+    # key 99 is on every doc (df 4 > cap) and must not count
+    rows = [
+        (0, [10, 11, 12, 99]),
+        (1, [10, 11, 12, 99]),
+        (2, [10, 20, 21, 99]),
+        (3, [30, 31, 32, 99]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, ks array<bigint>")
+    got = ER.metablocking_pairs(
+        df, F.col("ks"), df_cap=3, min_cbs=2, top_n=5
+    ).collect()
+    assert [(r.a_id, r.b_id, r.cbs, r.rank) for r in got] == [(0, 1, 3, 1)]
