@@ -42,6 +42,8 @@ __all__ = [
     "fs_scores",
     "fs_em",
     "fs_em_posteriors",
+    "random_pairs",
+    "fs_u_probabilities",
     "blocking_quality",
     "metablocking_pairs",
 ]
@@ -459,6 +461,7 @@ def fs_em(
     p0: float = 0.1,
     m0: float = 0.9,
     u0: float = 0.1,
+    fixed_u: dict | None = None,
 ):
     """EM estimate of the Fellegi-Sunter parameters (p, m_i, u_i).
 
@@ -468,6 +471,14 @@ def fs_em(
     O(2^k * n_iter) regardless of corpus size, the canonical
     aggregate-once / iterate-on-stats design. Deterministic: fixed
     iteration count, fixed float64 ops, no randomness.
+
+    ``fixed_u`` (name -> u_i) pins the non-match agreement probabilities
+    and EM fits only (p, m_i). Use it when the candidate set comes from
+    HIGH-PRECISION blocking: if (nearly) every candidate is a true match
+    there is no non-match class in the data and the free two-class
+    mixture is degenerate — u must then be estimated out-of-band from
+    random pairings (fs_u_probabilities over random_pairs), the standard
+    Splink-style protocol.
 
     Returns (params, patterns): params = {"p": .., "m": {f: ..},
     "u": {f: ..}}, patterns = list of (bits tuple, n_pairs, posterior).
@@ -482,8 +493,16 @@ def fs_em(
     k = len(field_cols)
     p = float(p0)
     m = np.full(k, float(m0))
-    u = np.full(k, float(u0))
     eps = 1e-9
+    if fixed_u is not None:
+        missing = [f for f in field_cols if f not in fixed_u]
+        if missing:
+            raise ValueError(f"fs_em: fixed_u missing fields {missing}")
+        u = np.clip(
+            np.array([float(fixed_u[f]) for f in field_cols]), eps, 1.0 - eps
+        )
+    else:
+        u = np.full(k, float(u0))
     for _ in range(int(n_iter)):
         lm = G @ np.log(m) + (1.0 - G) @ np.log(1.0 - m)
         lu = G @ np.log(u) + (1.0 - G) @ np.log(1.0 - u)
@@ -493,8 +512,11 @@ def fs_em(
         tot = float((n * w).sum())
         p = min(max(tot / float(n.sum()), eps), 1.0 - eps)
         m = np.clip((G.T @ (n * w)) / max(tot, eps), eps, 1.0 - eps)
-        nu = float((n * (1.0 - w)).sum())
-        u = np.clip((G.T @ (n * (1.0 - w))) / max(nu, eps), eps, 1.0 - eps)
+        if fixed_u is None:
+            nu = float((n * (1.0 - w)).sum())
+            u = np.clip(
+                (G.T @ (n * (1.0 - w))) / max(nu, eps), eps, 1.0 - eps
+            )
     params = {
         "p": p,
         "m": {f: float(m[i]) for i, f in enumerate(field_cols)},
@@ -527,6 +549,76 @@ def fs_em_posteriors(
         + ", n_pairs bigint, posterior_micro bigint"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def random_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_offsets: int = 3,
+    seed: int = 7,
+    max_rows: int | None = 100_000,
+) -> DataFrame:
+    """Deterministic pseudo-random (a_id, b_id) pairings for u-probability
+    estimation (a_id < b_id, no self-pairs, deduplicated).
+
+    Ranks rows by ``xxhash64(id, seed)`` — a fixed permutation
+    uncorrelated with content — and pairs rank r with rank
+    (r + off) mod n for off = 1..n_offsets, so almost every pair is a
+    non-match under any realistic duplicate rate. No RNG state:
+    re-running yields the identical pair set (checkpoint/resume safe).
+
+    Scale: when the corpus exceeds ``max_rows`` a hash predicate
+    downsamples it first (u only needs a bounded sample); ranking is the
+    bucketed dense_row_number (no single-partition global window), and
+    the pairing is an equi-join on the partner rank.
+    """
+    d = df.select(F.col(id_col).alias("id"))
+    if max_rows is not None:
+        n_total = d.count()
+        if n_total > max_rows:
+            den = -(-n_total // max_rows)
+            d = d.filter(
+                F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(den)) == 0
+            )
+    d = d.withColumn("_h", F.xxhash64("id", F.lit(seed)))
+    ranked = dense_row_number(d, "_h", out_col="_rn", tiebreak_col="id").drop(
+        "_h"
+    )
+    n = ranked.count()
+    if n < 2:
+        raise ValueError(f"random_pairs: need >= 2 rows, got {n}")
+    offs = F.array(*[F.lit(i) for i in range(1, int(n_offsets) + 1)])
+    left = ranked.select(
+        F.col("id").alias("_a"), F.explode(offs).alias("_off"), "_rn"
+    ).withColumn("_partner", F.pmod(F.col("_rn") + F.col("_off"), F.lit(n)))
+    right = ranked.select(F.col("id").alias("_b"), F.col("_rn").alias("_partner"))
+    return (
+        left.join(right, "_partner")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.least("_a", "_b").alias("a_id"),
+            F.greatest("_a", "_b").alias("b_id"),
+        )
+        .distinct()
+    )
+
+
+def fs_u_probabilities(pairs: DataFrame, field_cols: list) -> dict:
+    """Laplace-smoothed per-field agreement rates (name -> u) over a pair
+    set — run it on random_pairs output to get the Fellegi-Sunter
+    u-probabilities when blocking is too precise to expose a non-match
+    class to EM (see fs_em's fixed_u). One aggregation, null = disagree;
+    the +0.5/+1 smoothing keeps u strictly inside (0, 1) so log2 weights
+    stay finite even when no random pair agrees."""
+    aggs = [
+        F.sum(F.coalesce(F.col(c), F.lit(False)).cast("int")).alias(c)
+        for c in field_cols
+    ] + [F.count(F.lit(1)).alias("_n")]
+    r = pairs.agg(*aggs).collect()[0]
+    n = float(r["_n"] or 0)
+    if n == 0:
+        raise ValueError("fs_u_probabilities: empty pair set")
+    return {c: (float(r[c] or 0) + 0.5) / (n + 1.0) for c in field_cols}
 
 
 # ---------------------------------------------- blocking-quality metrics

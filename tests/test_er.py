@@ -231,3 +231,55 @@ def test_metablocking_cbs_and_rank(spark):
         df, F.col("ks"), df_cap=3, min_cbs=2, top_n=5
     ).collect()
     assert [(r.a_id, r.b_id, r.cbs, r.rank) for r in got] == [(0, 1, 3, 1)]
+
+
+def test_random_pairs_deterministic_shape(spark):
+    df = spark.range(50).select(F.col("id").alias("doc_id"))
+    p1 = ER.random_pairs(df, n_offsets=2).collect()
+    p2 = ER.random_pairs(df, n_offsets=2).collect()
+    s1 = {(r.a_id, r.b_id) for r in p1}
+    assert s1 == {(r.a_id, r.b_id) for r in p2}  # no RNG state
+    assert len(p1) == len(s1)  # deduplicated
+    assert all(r.a_id < r.b_id for r in p1)  # canonical order, no self
+    # offsets 1..2 over 50 ranks give 100 directed pairs; after
+    # canonicalization at most 100, and near-random coverage well above n
+    assert 50 <= len(s1) <= 100
+    # a different seed permutes the ranking -> a different pair set
+    s3 = {(r.a_id, r.b_id) for r in ER.random_pairs(df, n_offsets=2, seed=99).collect()}
+    assert s3 != s1
+
+
+def test_random_pairs_downsamples_past_cap(spark):
+    df = spark.range(400).select(F.col("id").alias("doc_id"))
+    got = ER.random_pairs(df, n_offsets=1, max_rows=100).collect()
+    ids = {r.a_id for r in got} | {r.b_id for r in got}
+    # hash-sampled to ~<= max_rows distinct rows before pairing
+    assert len(ids) <= 150
+
+
+def test_fs_u_probabilities_laplace(spark):
+    rows = [(1, 2, True, False), (3, 4, False, None), (5, 6, True, False)]
+    pairs = spark.createDataFrame(
+        rows, "a_id bigint, b_id bigint, f1 boolean, f2 boolean"
+    )
+    u = ER.fs_u_probabilities(pairs, ["f1", "f2"])
+    assert u["f1"] == pytest.approx((2 + 0.5) / 4)  # null = disagree
+    assert u["f2"] == pytest.approx(0.5 / 4)
+    assert 0.0 < u["f2"] < u["f1"] < 1.0
+
+
+def test_fs_em_fixed_u_survives_pure_match_candidates(spark):
+    # every candidate is a true match (perfect blocking): free EM is
+    # degenerate here, fixed-u must still fit sensible (p, m)
+    rows = [(i, i + 1000, True, i % 4 != 0) for i in range(200)]
+    pairs = spark.createDataFrame(
+        rows, "a_id bigint, b_id bigint, f1 boolean, f2 boolean"
+    )
+    fixed = {"f1": 0.01, "f2": 0.02}
+    params, _ = ER.fs_em(pairs, ["f1", "f2"], n_iter=30, fixed_u=fixed)
+    assert params["u"] == fixed  # pinned, never updated
+    assert params["p"] > 0.99
+    assert params["m"]["f1"] > 0.99
+    assert params["m"]["f2"] == pytest.approx(0.75, abs=0.02)
+    with pytest.raises(ValueError):
+        ER.fs_em(pairs, ["f1", "f2"], fixed_u={"f1": 0.01})
