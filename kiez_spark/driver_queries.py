@@ -2738,6 +2738,77 @@ def q_fs_em_posteriors(spark, sf_dir):
     )
 
 
+def q_er_fs_f1(spark, sf_dir):
+    """North-rule gate for the STRING tier (the probabilistic twin of
+    linkage_f1's embedding pipeline, = jobs/run_er.py in miniature):
+    meta-blocking -> agreement vectors -> fixed-u Fellegi-Sunter EM
+    (u from deterministic random pairings — the blocked candidates are
+    match-dominated, so free EM would be degenerate) -> posterior-0.5
+    threshold -> connected components -> pairwise F1 vs planted gold.
+    Rows-only (EM is not SQL-expressible); the bar is f1 >= 0.99."""
+    import math as _m
+
+    from kiez_spark import synth
+    from kiez_spark.functions import text as T
+    from kiez_spark.operators import clustering as CCl
+    from kiez_spark.operators import er as ER
+
+    files = synth.repos_files(spark, n=800)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    keys = F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+    blocked = ER.metablocking_pairs(
+        docs, keys, df_cap=64, min_cbs=5, top_n=10
+    )
+
+    def compare(pairs):
+        a = docs.select(
+            F.col("doc_id").alias("a_id"), F.col("text").alias("a_text")
+        )
+        b = docs.select(
+            F.col("doc_id").alias("b_id"), F.col("text").alias("b_text")
+        )
+        lev = F.levenshtein("a_text", "b_text", 24)
+        return (
+            pairs.select("a_id", "b_id")
+            .join(a, "a_id")
+            .join(b, "b_id")
+            .withColumn(
+                "prefix_eq",
+                F.substring("a_text", 1, 32) == F.substring("b_text", 1, 32),
+            )
+            .withColumn(
+                "size_close",
+                F.abs(F.length("a_text") - F.length("b_text")) <= 8,
+            )
+            .withColumn("lev_small", (lev >= 0) & (lev <= 24))
+            .select("a_id", "b_id", "prefix_eq", "size_close", "lev_small")
+        )
+
+    fields = ["prefix_eq", "size_close", "lev_small"]
+    u = ER.fs_u_probabilities(compare(ER.random_pairs(docs)), fields)
+    params, _ = ER.fs_em(compare(blocked), fields, n_iter=30, fixed_u=u)
+    p = params["p"]
+    thr = int(_m.floor(1e6 * _m.log2((1.0 - p) / p)))
+    kept = {
+        f: (params["m"][f], params["u"][f])
+        for f in fields
+        if params["m"][f] > params["u"][f]
+    }
+    matched = (
+        ER.fs_scores(compare(blocked), kept)
+        .filter(F.col("weight_micro") > thr)
+        .select("a_id", "b_id")
+    )
+    comps = CCl.connected_components(matched, pair_cols=("a_id", "b_id"))
+    return E.pairwise_f1(
+        E.clusters_to_pairs(comps),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
+
+
 def q_blocking_quality(spark, sf_dir):
     from kiez_spark.operators import er as ER
 
@@ -2887,6 +2958,7 @@ QUERIES = {
     "phonetic_blocks": (q_phonetic_blocks, SQL_PHONETIC_BLOCKS),
     "fs_match_scores": (q_fs_match_scores, SQL_FS_MATCH_SCORES),
     "fs_em_posteriors": (q_fs_em_posteriors, None),
+    "er_fs_f1": (q_er_fs_f1, None),
     "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
     "metablocking_pairs": (q_metablocking_pairs, SQL_METABLOCKING_PAIRS),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
