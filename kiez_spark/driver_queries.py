@@ -1966,6 +1966,73 @@ FROM scored s JOIN winners w ON s.component = w.component
 """
 
 
+def q_er_incremental(spark, sf_dir):
+    """Incremental ER proven against a full-re-run oracle: corpus =
+    documents, increment = mutated near-copies (first token -> 'zzz',
+    doc_id + 100000). Spark runs the INCREMENTAL path — persisted
+    blocking index (build_blocking_index), batch-incident CBS pairs only
+    (incremental_blocking_pairs; corpus x corpus never re-pairs), then a
+    touched-component-only merge into the corpus-only clustering
+    (merge_components). The DuckDB oracle clusters the COMBINED corpus
+    from scratch (recursive min-label CC over the same df-capped trigram
+    CBS pairs), so a green row IS the incremental == full-rerun
+    equivalence proof, run in the gate every round."""
+    from kiez_spark.operators import er as ER
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+    )
+    keys = F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+    posting, stats = ER.build_blocking_index(corpus, keys, df_cap=64)
+    corpus_pairs = ER.metablocking_pairs(
+        corpus, keys, df_cap=64, min_cbs=3, top_n=None
+    )
+    assign0 = CC.connected_components(
+        corpus_pairs, nodes=corpus.select("doc_id"), pair_cols=("a_id", "b_id")
+    )
+    inc = ER.incremental_blocking_pairs(
+        batch, keys, posting, stats, df_cap=64, min_cbs=3
+    )
+    out = CC.merge_components(
+        assign0, inc, batch_nodes=batch.select("doc_id")
+    )
+    return out.select("id", "component")
+
+
+SQL_ER_INCREMENTAL = f"""
+WITH RECURSIVE {_DOCS2_SQL},
+posting AS (
+  SELECT DISTINCT doc_id AS id, k
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             {_shingles_sql(_TOKENS_SQL.format(col='text'), 3)},
+             x -> {_H_SQL.format(s='x')})) AS k
+    FROM docs2
+  )
+),
+ok AS (SELECT k FROM posting GROUP BY k HAVING count(*) <= 64),
+pp AS (SELECT p.id, p.k FROM posting p JOIN ok USING (k)),
+pairs AS (
+  SELECT a.id AS u, b.id AS v
+  FROM pp a JOIN pp b ON a.k = b.k AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(*) >= 3
+),
+sym AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
+FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+"""
+
+
 def q_incremental_neardup(spark, sf_dir):
     """Daily-increment dedup: a mutated new batch (every doc, first token
     -> 'zzz', shifted ids) checked against the existing corpus via the
@@ -2941,6 +3008,7 @@ QUERIES = {
     "cc_clusters": (q_cc_clusters, SQL_CC_CLUSTERS),
     "dedup_decisions": (q_dedup_decisions, SQL_DEDUP_DECISIONS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
+    "er_incremental": (q_er_incremental, SQL_ER_INCREMENTAL),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
     "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),

@@ -111,6 +111,80 @@ def connected_components(
     return assign
 
 
+def merge_components(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    batch_nodes: DataFrame | None = None,
+    pair_cols: tuple[str, str] = ("a_id", "b_id"),
+    max_iter: int = 25,
+) -> DataFrame:
+    """Updated (id, component) after adding ``new_edges`` to an already
+    clustered corpus — the incremental-linkage closer: components NOT
+    incident to any new edge pass through byte-identical; incident ones
+    are re-clustered together with the new edges (and ``batch_nodes``
+    newcomers, who get singleton components unless an edge claims them).
+
+    Exactness: in a min-id labeling each (id, component) row is itself
+    an edge that reconstructs its component, so running CC over
+    [touched assignment rows as edges] ∪ [new edges] gives exactly what
+    a full CC over [all old edges] ∪ [new edges] gives for the touched
+    components; untouched components are fixed points of adding edges
+    that don't reach them. (See tests/test_er_incremental.py for the
+    full-rerun equivalence proof on planted data.)
+
+    Scale: the corpus-wide assignments table is touched by one semi- and
+    one anti-join on ``component`` (broadcastable — the touched-component
+    list is bounded by the batch's edge count); only the touched subgraph
+    plus the batch enters the O(log n)-round iterative CC.
+    """
+    a_, b_ = pair_cols
+    edges = new_edges.select(
+        F.col(a_).cast("bigint").alias("u"), F.col(b_).cast("bigint").alias("v")
+    )
+    touched_ids = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    assign = assignments.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("component").cast("bigint").alias("component"),
+    )
+    touched_comps = (
+        assign.join(touched_ids, "id").select("component").distinct()
+    )
+    sub = assign.join(F.broadcast(touched_comps), "component")
+    untouched = assign.join(
+        F.broadcast(touched_comps), "component", "left_anti"
+    )
+    # eager barrier, NOT an optimization: `assignments` typically carries a
+    # prior connected_components LogicalRDD in its lineage, and Spark's
+    # LAZY localCheckpoint inside the CC loop fails to rewrite that nested
+    # LogicalRDD's origin attributes (NoSuchElementException: key not
+    # found u#...). Materializing the (small) touched subgraph gives CC a
+    # shallow scan to start from. Bounded by the touched components + the
+    # batch, never the corpus.
+    sub_edges = (
+        sub.select(F.col("id").alias("u"), F.col("component").alias("v"))
+        .unionByName(edges)
+        .localCheckpoint()
+    )
+    nodes = sub.select("id").unionByName(touched_ids)
+    if batch_nodes is not None:
+        nodes = nodes.unionByName(
+            batch_nodes.select(
+                F.col(batch_nodes.columns[0]).cast("bigint").alias("id")
+            )
+        )
+    re_assign = connected_components(
+        sub_edges, nodes=nodes.distinct(), pair_cols=("u", "v"),
+        max_iter=max_iter,
+    )
+    return untouched.select("id", "component").unionByName(
+        re_assign.select("id", "component")
+    )
+
+
 def survivor_decisions(
     pairs: DataFrame,
     nodes: DataFrame | None = None,

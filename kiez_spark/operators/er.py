@@ -44,6 +44,8 @@ __all__ = [
     "fs_em_posteriors",
     "random_pairs",
     "fs_u_probabilities",
+    "build_blocking_index",
+    "incremental_blocking_pairs",
     "blocking_quality",
     "metablocking_pairs",
 ]
@@ -658,6 +660,105 @@ def blocking_quality(
         row,
         "n_candidates bigint, n_gold bigint, n_found bigint,"
         " pair_completeness_micro bigint, reduction_ratio_micro bigint",
+    )
+
+
+# ------------------------------------------------------- incremental ER
+
+
+def build_blocking_index(
+    df: DataFrame,
+    keys: F.Column,
+    id_col: str = "doc_id",
+    df_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """(posting, stats) blocking index for incremental linkage.
+
+    posting: (k, id) for every key whose document frequency <= df_cap;
+    stats:   (k, df) for EVERY key, including over-cap ones.
+
+    Persist both (parquet/Iceberg) and feed incremental_blocking_pairs.
+    Storing stats beside the capped postings is what keeps the
+    incremental df-cap UNION-exact: a key near the cap is re-evaluated
+    against (corpus df + batch df) without rescanning the corpus, and a
+    key already over cap stays excluded (df only grows). One shuffle of
+    (k, id) + one of (k, df) — the per-corpus-version index build cost.
+    """
+    posting = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
+    ).distinct()
+    stats = posting.groupBy("k").agg(F.count("*").alias("df"))
+    capped = posting.join(
+        stats.filter(F.col("df") <= int(df_cap)).select("k"), "k"
+    )
+    return capped.select("k", "id"), stats
+
+
+def incremental_blocking_pairs(
+    batch_df: DataFrame,
+    keys: F.Column,
+    corpus_posting: DataFrame,
+    corpus_stats: DataFrame,
+    id_col: str = "doc_id",
+    df_cap: int = 64,
+    min_cbs: int = 2,
+) -> DataFrame:
+    """CBS-weighted candidate pairs INCIDENT TO THE BATCH only —
+    batch x corpus plus batch x batch; corpus x corpus never re-pairs.
+    Output (a_id, b_id, cbs) with a_id < b_id (ids must live in one
+    namespace with batch ids disjoint from corpus ids).
+
+    The df cap is evaluated on the UNION frequency (corpus stats df +
+    batch df), so with (old corpus-run pairs) ∪ (these pairs) you get
+    EXACTLY what a full re-block of the combined corpus (top_n=None)
+    would — provided no key crossed the cap between versions. A key
+    that does cross contributes no NEW pairs here but a full re-run
+    would also retract its OLD pairs; incremental linkage keeps them:
+    decisions are monotone (clusters merge on increment, never split),
+    the production semantic for a daily-increment pipeline.
+
+    Scale: the batch shuffles once to build its postings; the corpus
+    side is the persisted index (pay once per corpus version). Both
+    joins are key-equi-joins bounded by the df cap — O(df^2) worst case
+    per key, never all-pairs.
+    """
+    bp = batch_df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
+    ).distinct()
+    bs = bp.groupBy("k").agg(F.count("*").alias("_df_b"))
+    ok = (
+        corpus_stats.select("k", "df")
+        .join(bs, "k", "full_outer")
+        .filter(
+            F.coalesce(F.col("df"), F.lit(0))
+            + F.coalesce(F.col("_df_b"), F.lit(0))
+            <= int(df_cap)
+        )
+        .select("k")
+    )
+    bpo = bp.join(ok, "k")
+    cpo = corpus_posting.select("k", F.col("id").alias("_cid")).join(ok, "k")
+    cross = (
+        bpo.join(cpo, "k")
+        .select(
+            F.least("id", "_cid").alias("a_id"),
+            F.greatest("id", "_cid").alias("b_id"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cbs"))
+    )
+    b2 = bpo.select(F.col("id").alias("b_id"), "k")
+    intra = (
+        bpo.join(b2, "k")
+        .filter(F.col("id") < F.col("b_id"))
+        .select(F.col("id").alias("a_id"), "b_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cbs"))
+    )
+    return (
+        cross.unionByName(intra)
+        .filter(F.col("cbs") >= int(min_cbs))
+        .select("a_id", "b_id", F.col("cbs").cast("int").alias("cbs"))
     )
 
 

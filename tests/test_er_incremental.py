@@ -1,0 +1,127 @@
+"""Incremental ER: persisted blocking index + batch-incident candidate
+generation + touched-component-only cluster merge, proven EQUAL to a
+full re-run over the combined corpus (no cap-crossing keys on this
+fixture, so the monotone-increment semantic coincides with exactness)."""
+
+from pyspark.sql import functions as F
+
+from kiez_spark.functions import text as T
+from kiez_spark.operators import clustering as CC
+from kiez_spark.operators import er as ER
+
+
+def _keys():
+    return F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+
+
+def _split_corpus(spark, n=600):
+    """repos_files split into corpus (first 3 of each 4-cluster + some
+    singletons) and batch (the rest) so batch members must join EXISTING
+    corpus clusters, merge them, and open new ones."""
+    from kiez_spark import synth
+
+    files = synth.repos_files(spark, n=n)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    batch = docs.filter(F.col("doc_id") % 4 == 3)
+    corpus = docs.filter(F.col("doc_id") % 4 != 3)
+    return docs, corpus, batch
+
+
+def test_incremental_pairs_union_equals_full_reblock(spark):
+    docs, corpus, batch = _split_corpus(spark)
+    posting, stats = ER.build_blocking_index(corpus, _keys(), df_cap=64)
+    inc = ER.incremental_blocking_pairs(
+        batch, _keys(), posting, stats, df_cap=64, min_cbs=3
+    )
+    old = ER.metablocking_pairs(
+        corpus, _keys(), df_cap=64, min_cbs=3, top_n=None
+    ).select("a_id", "b_id", "cbs")
+    full = ER.metablocking_pairs(
+        docs, _keys(), df_cap=64, min_cbs=3, top_n=None
+    ).select("a_id", "b_id", "cbs")
+    got = old.unionByName(inc.select("a_id", "b_id", "cbs"))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    assert inc.count() > 0  # the increment actually contributed edges
+
+
+def test_incremental_pairs_union_df_cap(spark):
+    # key 7 has corpus df 2 and batch df 2: cap 3 kills it ONLY when the
+    # union frequency is consulted — a corpus-local cap would pair on it
+    corpus = spark.createDataFrame(
+        [(1, [7, 8]), (2, [7, 8])], "doc_id bigint, ks array<bigint>"
+    )
+    batch = spark.createDataFrame(
+        [(11, [7, 9]), (12, [7, 9])], "doc_id bigint, ks array<bigint>"
+    )
+    posting, stats = ER.build_blocking_index(
+        corpus, F.col("ks"), df_cap=3
+    )
+    got = ER.incremental_blocking_pairs(
+        batch, F.col("ks"), posting, stats, df_cap=3, min_cbs=1
+    ).collect()
+    # key 7 union-df 4 > 3 -> dropped; only the batch-intra key 9 pairs
+    assert [(r.a_id, r.b_id, r.cbs) for r in got] == [(11, 12, 1)]
+
+
+def test_merge_components_equals_full_cc(spark):
+    # old graph: {1,2,3}, {4,5}, {6} singleton, 7 isolated newcomer-to-be
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a_id bigint, b_id bigint"
+    )
+    nodes = spark.range(1, 7).select(F.col("id"))
+    assign0 = CC.connected_components(
+        old_edges, nodes=nodes, pair_cols=("a_id", "b_id")
+    )
+    # increment: 8 bridges the two clusters; 9-6 extends a singleton;
+    # 10 arrives with no edges at all
+    new_edges = spark.createDataFrame(
+        [(3, 8), (8, 4), (9, 6)], "a_id bigint, b_id bigint"
+    )
+    batch = spark.createDataFrame([(8,), (9,), (10,)], "id bigint")
+    got = CC.merge_components(
+        assign0, new_edges, batch_nodes=batch
+    )
+    full = CC.connected_components(
+        old_edges.unionByName(new_edges),
+        nodes=nodes.unionByName(batch.select("id")),
+        pair_cols=("a_id", "b_id"),
+    )
+    g = {(r.id, r.component) for r in got.collect()}
+    f = {(r.id, r.component) for r in full.collect()}
+    assert g == f
+    assert (10, 10) in g  # edge-less newcomer -> singleton
+
+
+def test_incremental_er_end_to_end_equals_full_rerun(spark):
+    docs, corpus, batch = _split_corpus(spark)
+    # corpus state: index + clusters from the corpus-only run
+    posting, stats = ER.build_blocking_index(corpus, _keys(), df_cap=64)
+    corpus_pairs = ER.metablocking_pairs(
+        corpus, _keys(), df_cap=64, min_cbs=3, top_n=None
+    )
+    assign0 = CC.connected_components(
+        corpus_pairs, nodes=corpus.select("doc_id"), pair_cols=("a_id", "b_id")
+    ).localCheckpoint()
+    # increment
+    inc = ER.incremental_blocking_pairs(
+        batch, _keys(), posting, stats, df_cap=64, min_cbs=3
+    )
+    got = CC.merge_components(
+        assign0, inc, batch_nodes=batch.select("doc_id")
+    )
+    # full re-run over the combined corpus
+    full_pairs = ER.metablocking_pairs(
+        docs, _keys(), df_cap=64, min_cbs=3, top_n=None
+    )
+    full = CC.connected_components(
+        full_pairs, nodes=docs.select("doc_id"), pair_cols=("a_id", "b_id")
+    )
+    assert {(r.id, r.component) for r in got.collect()} == {
+        (r.id, r.component) for r in full.collect()
+    }
+    # sanity: the increment merged batch members into existing clusters
+    merged = got.groupBy("component").count().filter("count >= 4").count()
+    assert merged > 0
