@@ -6,7 +6,7 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "scaling": {"cores_lo": 2, "cores_hi": 8, "pairs_per_sec_lo": ...,
                "pairs_per_sec_hi": ..., "efficiency": ...,
-               "mid_pair": {...}, "kernel_only": {...}}}
+               "mid_pair": {...}, "kernel_only": {...}, "fs_pair": {...}}}
 
 The scaling block evidences the north_rule's N -> 4N criterion in this
 single-host sandbox: the candidate-scoring job (the n^2 distance-kernel
@@ -154,6 +154,99 @@ def timed_flagship(cores: int) -> tuple[float, int]:
         t0 = time.time()
         eng._candidates(emb, eng.target_, N_CAND_SCALE, True).count()
         return time.time() - t0, SCALE_N * SCALE_N
+    finally:
+        spark.stop()
+
+
+FS_N = int(os.environ.get("SPARK_GRAFT_FS_N", "1200000"))
+FS_PATH = f"/tmp/bench_fs_pairs_{FS_N}"
+
+
+def ensure_fs_dataset():
+    """Deterministic candidate-pair table (a_text, b_text) for the
+    string-tier scoring leg: half the pairs are one-token mutations of a
+    shared base (near-matches), half unrelated — so the levenshtein
+    bound exercises both its early-exit and its full-matrix path."""
+    if os.path.exists(os.path.join(FS_PATH, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    from kiez_spark.session import get_spark
+
+    spark = get_spark("bench-fsgen", cores=min(CPUS, 16),
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        def text(idcol, salt):
+            return F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(30)),
+                lambda t: F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(idcol * 31 + t, F.lit(salt)), F.lit(997)
+                    ).cast("string"),
+                ),
+            ))
+
+        df = spark.range(FS_N, numPartitions=32).select(
+            F.col("id").alias("a_id"),
+            (F.col("id") + 1_000_000_000).alias("b_id"),
+            text(F.col("id") / 2, 1).alias("a_text"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.regexp_replace(text(F.col("id") / 2, 1), r"^\S+", "zz"),
+            ).otherwise(text(F.col("id") + 7, 2)).alias("b_text"),
+        )
+        df.write.mode("overwrite").parquet(FS_PATH)
+    finally:
+        spark.stop()
+
+
+def timed_fs_scoring(cores: int) -> tuple[float, int]:
+    """One string-tier scaling measurement: the Fellegi-Sunter comparison
+    + scoring pass of jobs/run_er.py (agreement booleans incl. a bounded
+    levenshtein, literal log2 weights, threshold) over FS_N candidate
+    pairs — the LITERAL "candidate-pairs-scored/sec" of BASELINE.json.
+    Pure JVM whole-stage codegen, NO python workers: measured immune to
+    the hypervisor throttle that hits the pandas-kernel mid pair (held
+    0.81-0.83 efficiency in the same minutes the python-worker pair read
+    0.65 — BASELINE.md)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kiez_spark.session import get_spark
+
+    ensure_fs_dataset()
+    spark = get_spark(f"bench-fs{cores}", cores=cores,
+                      shuffle_partitions=max(2 * cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        d = spark.read.parquet(FS_PATH)
+        lev = F.levenshtein("a_text", "b_text", 24)
+        scored = (
+            d.withColumn(
+                "prefix_eq",
+                F.substring("a_text", 1, 32) == F.substring("b_text", 1, 32),
+            )
+            .withColumn("suffix_eq", F.expr("right(a_text,32)=right(b_text,32)"))
+            .withColumn(
+                "size_close",
+                F.abs(F.length("a_text") - F.length("b_text")) <= 8,
+            )
+            .withColumn("lev_small", (lev >= 0) & (lev <= 24))
+        )
+        wa, wd = math.log2(0.9 / 0.01), math.log2(0.1 / 0.99)
+        total = F.lit(0.0)
+        for c in ("prefix_eq", "suffix_eq", "size_close", "lev_small"):
+            total = total + F.when(F.col(c), F.lit(wa)).otherwise(F.lit(wd))
+        out = scored.withColumn(
+            "w", F.floor(total * F.lit(1e6)).cast("bigint")
+        ).filter(F.col("w") > 0)
+        out.limit(25000 * cores).count()  # warm (codegen + file handles)
+        t0 = time.time()
+        out.count()
+        return time.time() - t0, FS_N
     finally:
         spark.stop()
 
@@ -306,6 +399,52 @@ def main():
     # that REPEAT_MIN queries run extra, discarded repeats)
     total = round(sum(results.values()), 3)
     spark.stop()
+
+    # string-tier scoring leg: candidate-pairs-scored/sec through the
+    # Fellegi-Sunter comparison+scoring expressions at the SAME 4 -> 16
+    # range the mid pair covers, but pure JVM codegen (no python
+    # workers) — the leg that stays measurable when the hypervisor
+    # throttles the python-worker runs. Runs in the saturating tail with
+    # the mid block for the same throttle-drain reasons.
+    if scaling is not None:
+        fs_pairs_n = int(os.environ.get("SPARK_GRAFT_FS_PAIRS", "2"))
+        fs_lo_c = int(os.environ.get("SPARK_GRAFT_FS_LO", "4"))
+        fs_hi_c = int(os.environ.get("SPARK_GRAFT_FS_HI", "16"))
+        if fs_pairs_n > 0:
+            f_lo_walls, f_hi_walls = [], []
+            for i in range(fs_pairs_n):
+                if i:
+                    time.sleep(20)
+                t_flo, n_fs = timed_fs_scoring(fs_lo_c)
+                t_fhi, _ = timed_fs_scoring(fs_hi_c)
+                f_lo_walls.append(round(t_flo, 3))
+                f_hi_walls.append(round(t_fhi, 3))
+                print(
+                    f"  fs scoring pair {i}: local[{fs_lo_c}] {t_flo:.1f}s ->"
+                    f" local[{fs_hi_c}] {t_fhi:.1f}s"
+                    f" (eff {(t_flo/t_fhi)/(fs_hi_c/fs_lo_c):.2f})",
+                    file=sys.stderr,
+                )
+            t_flo, t_fhi = min(f_lo_walls), min(f_hi_walls)
+            f_eff = (t_flo / t_fhi) / (fs_hi_c / fs_lo_c)
+            scaling["fs_pair"] = {
+                "cores_lo": fs_lo_c,
+                "cores_hi": fs_hi_c,
+                "wall_lo_sec": t_flo,
+                "wall_hi_sec": t_fhi,
+                "walls_lo_sec": f_lo_walls,
+                "walls_hi_sec": f_hi_walls,
+                "pairs_scored": n_fs,
+                "pairs_per_sec_lo": round(n_fs / t_flo),
+                "pairs_per_sec_hi": round(n_fs / t_fhi),
+                "efficiency": round(f_eff, 3),
+            }
+            print(
+                f"  fs scoring: local[{fs_lo_c}] {t_flo:.1f}s ->"
+                f" local[{fs_hi_c}] {t_fhi:.1f}s, efficiency {f_eff:.2f}",
+                file=sys.stderr,
+            )
+            time.sleep(20)  # drain before the mid pairs
 
     # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
     # interleaved-min like the primary block. Runs LAST: 16 python
