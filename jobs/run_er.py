@@ -10,11 +10,13 @@ files(row_id, content)
   -> stage "compared": per-pair agreement vector (prefix/suffix equality,
                        bounded levenshtein, size band) — all JVM-side
                        column expressions over candidates only
-  -> EM:               Fellegi-Sunter m/u/p fitted by EM on the <=2^k
-                       agreement-pattern sufficient statistics (one
-                       aggregation; iteration cost independent of corpus
-                       size), then every pair scored with the fitted
-                       log2 weights and thresholded at posterior 0.5
+  -> EM:               Fellegi-Sunter (p, m) fitted by EM on the <=2^k
+                       agreement-pattern sufficient statistics with u
+                       PINNED from deterministic random pairings (the
+                       blocked candidates are match-dominated, so the
+                       free two-class mixture would be degenerate), then
+                       every pair scored with the fitted log2 weights
+                       and thresholded at posterior 0.5
                        (weight > log2((1-p)/p))
   -> stage "clusters": matched pairs -> large/small-star connected
                        components -> survivor election
@@ -26,9 +28,26 @@ Every stage checkpoints through StageCheckpointer (resume + per-stage
 rows/signature metrics); re-running with the same --checkpoint-dir picks
 up after the last complete stage.
 
+INCREMENT MODE (the 10^12-file production loop — never re-cluster from
+scratch): a base run with --state-dir persists the blocking index
+(df-capped postings + per-key stats), the corpus docs, the cluster
+assignments and the fitted FS parameters as version v1. A later run with
+--increment --state-dir links ONLY the new batch: batch x corpus +
+batch x batch candidates through the persisted index (corpus x corpus
+never re-pairs), scoring with the SAVED m/u/threshold (no re-fit — score
+consistency across increments), and a touched-component-only cluster
+merge. Writes v{K+1} state; clusters are monotone (merge, never split).
+With --top-n 0 on the base run, chained increments are provably equal to
+a full re-run on the combined corpus (tests/test_er_job.py).
+
 Usage (local smoke):
   spark-submit jobs/run_er.py --synthetic 800 \\
       --output /tmp/er --checkpoint-dir /tmp/er_ckpt --evaluate-gold
+  # base + increment:
+  spark-submit jobs/run_er.py --input base.parquet --output /tmp/er0 \\
+      --state-dir /tmp/er_state --top-n 0
+  spark-submit jobs/run_er.py --increment --input batch.parquet \\
+      --output /tmp/er1 --state-dir /tmp/er_state
 """
 
 from __future__ import annotations
@@ -44,34 +63,91 @@ try:  # pragma: no cover
 except ModuleNotFoundError:  # pragma: no cover
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+FIELDS = ["prefix_eq", "suffix_eq", "size_close", "lev_small"]
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="parquet path of docs(doc_id, text)")
-    ap.add_argument("--synthetic", type=int, default=0,
-                    help="generate N synthetic files instead of --input")
-    ap.add_argument("--output", required=True)
-    ap.add_argument("--checkpoint-dir", default=None)
-    ap.add_argument("--df-cap", type=int, default=64)
-    ap.add_argument("--min-cbs", type=int, default=5)
-    ap.add_argument("--top-n", type=int, default=10)
-    ap.add_argument("--lev-bound", type=int, default=24)
-    ap.add_argument("--em-iters", type=int, default=30)
-    ap.add_argument("--u-offsets", type=int, default=3,
-                    help="random-pair offsets per row for u estimation")
-    ap.add_argument("--evaluate-gold", action="store_true")
-    args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+def _keys_expr():
     from pyspark.sql import functions as F
 
-    from kiez_spark.checkpoint import StageCheckpointer
     from kiez_spark.functions import text as T
-    from kiez_spark.operators import clustering as C
-    from kiez_spark.operators import er as ER
-    from kiez_spark.operators import evaluate as EV
 
-    spark = SparkSession.builder.appName("kiez-spark-er").getOrCreate()
+    return F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+
+
+def _agreements(docs, pairs, lev_bound, extra_cols=()):
+    """Agreement vector over any (a_id, b_id) pair set; ``docs`` supplies
+    the texts+shas for BOTH sides — shared by the blocked candidates, the
+    random u-estimation pairs and the increment batch so m and u are
+    always measured under the identical comparator."""
+    from pyspark.sql import functions as F
+
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("text").alias("a_text"),
+        F.col("content_sha").alias("a_sha"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("text").alias("b_text"),
+        F.col("content_sha").alias("b_sha"),
+    )
+    lev = F.levenshtein("a_text", "b_text", lev_bound)
+    return (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn(
+            "prefix_eq",
+            F.substring("a_text", 1, 32) == F.substring("b_text", 1, 32),
+        )
+        .withColumn(
+            "suffix_eq",
+            F.expr("right(a_text, 32) = right(b_text, 32)"),
+        )
+        .withColumn(
+            "size_close",
+            F.abs(F.length("a_text") - F.length("b_text")) <= 8,
+        )
+        .withColumn("lev_small", (lev >= 0) & (lev <= lev_bound))
+        .select("a_id", "b_id", *extra_cols, "a_sha", "b_sha", *FIELDS)
+    )
+
+
+def _survivors(assign):
+    """Min-id survivor election over (id, component) — the same rule
+    survivor_decisions applies in the base run."""
+    from pyspark.sql import functions as F
+
+    keep = assign.groupBy("component").agg(F.min("id").alias("keep_id"))
+    return assign.join(keep, "component").select(
+        "id", "component", "keep_id",
+        (F.col("id") == F.col("keep_id")).alias("is_survivor"),
+    )
+
+
+def _state_version(state_dir):
+    vf = os.path.join(state_dir, "VERSION")
+    if not os.path.exists(vf):
+        return 0
+    with open(vf) as fh:
+        return int(fh.read().strip())
+
+
+def _write_state(state_dir, ver, docs, posting, stats, assign, params):
+    base = os.path.join(state_dir, f"v{ver}")
+    docs.write.mode("overwrite").parquet(os.path.join(base, "docs"))
+    posting.write.mode("overwrite").parquet(os.path.join(base, "posting"))
+    stats.write.mode("overwrite").parquet(os.path.join(base, "stats"))
+    assign.write.mode("overwrite").parquet(os.path.join(base, "assign"))
+    with open(os.path.join(base, "params.json"), "w") as fh:
+        json.dump(params, fh)
+    # VERSION last: a killed state write is invisible, the previous
+    # version stays current
+    with open(os.path.join(state_dir, "VERSION"), "w") as fh:
+        fh.write(str(ver))
+
+
+def _load_docs(args, spark, need_gold):
+    from pyspark.sql import functions as F
 
     gold = None
     if args.synthetic:
@@ -81,16 +157,129 @@ def main(argv=None) -> int:
         docs = files.select(
             F.col("row_id").alias("doc_id"), F.col("content").alias("text")
         )
-        if args.evaluate_gold:
+        if need_gold:
             gold = synth.gold_pairs(files)
     elif args.input:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
     else:
-        ap.error("one of --input / --synthetic is required")
-
+        raise SystemExit("one of --input / --synthetic is required")
     # the per-row invariant the north rule demands carried through every
     # stage: sha256(content) at ingest, re-checked after clustering
-    docs = docs.withColumn("content_sha", F.sha2("text", 256))
+    return docs.withColumn("content_sha", F.sha2("text", 256)), gold
+
+
+def _run_increment(args, spark):
+    from pyspark.sql import functions as F
+
+    from kiez_spark.operators import clustering as C
+    from kiez_spark.operators import er as ER
+
+    ver = _state_version(args.state_dir)
+    if ver < 1:
+        raise SystemExit("--increment requires a base run's --state-dir state")
+    base = os.path.join(args.state_dir, f"v{ver}")
+    with open(os.path.join(base, "params.json")) as fh:
+        params = json.load(fh)
+    corpus_docs = spark.read.parquet(os.path.join(base, "docs"))
+    posting = spark.read.parquet(os.path.join(base, "posting"))
+    stats = spark.read.parquet(os.path.join(base, "stats"))
+    assign = spark.read.parquet(os.path.join(base, "assign"))
+
+    batch, _ = _load_docs(args, spark, need_gold=False)
+    report = {"mode": "increment", "base_version": ver,
+              "batch_docs": batch.count()}
+
+    inc = ER.incremental_blocking_pairs(
+        batch, _keys_expr(), posting, stats,
+        df_cap=params["df_cap"], min_cbs=params["min_cbs"],
+    )
+    docs_all = corpus_docs.unionByName(batch).localCheckpoint(eager=False)
+    compared = _agreements(docs_all, inc, params["lev_bound"])
+    report["candidate_pairs"] = compared.count()
+
+    fs_fields = {f: (params["m"][f], params["u"][f]) for f in params["fields"]}
+    matched = (
+        ER.fs_scores(compared, fs_fields)
+        .filter(F.col("weight_micro") > params["threshold_micro"])
+        .select("a_id", "b_id")
+    )
+    report["matched_pairs"] = matched.count()
+
+    merged = C.merge_components(
+        assign.select("id", "component"), matched,
+        batch_nodes=batch.select("doc_id"),
+    ).localCheckpoint()
+    decisions = _survivors(merged)
+    report["clusters"] = merged.select("component").distinct().count()
+    report["survivors"] = decisions.filter("is_survivor").count()
+
+    # per-row sha invariant across corpus + batch after the merge
+    report["sha_violations"] = (
+        merged.join(
+            docs_all.select(F.col("doc_id").alias("id"), "content_sha"), "id"
+        )
+        .join(
+            docs_all.select(
+                F.col("doc_id").alias("id"),
+                F.sha2("text", 256).alias("sha_recheck"),
+            ),
+            "id",
+        )
+        .filter(F.col("content_sha") != F.col("sha_recheck"))
+        .count()
+    )
+
+    posting2, stats2 = ER.update_blocking_index(
+        posting, stats, batch, _keys_expr(), df_cap=params["df_cap"]
+    )
+    _write_state(
+        args.state_dir, ver + 1, docs_all, posting2, stats2, merged, params
+    )
+    report["new_version"] = ver + 1
+    decisions.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="parquet path of docs(doc_id, text)")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic files instead of --input")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--state-dir", default=None,
+                    help="persist index/params/assignments for increments")
+    ap.add_argument("--increment", action="store_true",
+                    help="link a new batch against the --state-dir state")
+    ap.add_argument("--df-cap", type=int, default=64)
+    ap.add_argument("--min-cbs", type=int, default=5)
+    ap.add_argument("--top-n", type=int, default=10,
+                    help="per-record strongest-partner prune; 0 = keep all"
+                         " (required for increment == full-rerun equality)")
+    ap.add_argument("--lev-bound", type=int, default=24)
+    ap.add_argument("--em-iters", type=int, default=30)
+    ap.add_argument("--evaluate-gold", action="store_true")
+    ap.add_argument("--u-offsets", type=int, default=3,
+                    help="random-pair offsets per row for u estimation")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from kiez_spark.checkpoint import StageCheckpointer
+    from kiez_spark.operators import clustering as C
+    from kiez_spark.operators import er as ER
+    from kiez_spark.operators import evaluate as EV
+
+    spark = SparkSession.builder.appName("kiez-spark-er").getOrCreate()
+
+    if args.increment:
+        if not args.state_dir:
+            ap.error("--increment requires --state-dir")
+        return _run_increment(args, spark)
+
+    docs, gold = _load_docs(args, spark, need_gold=args.evaluate_gold)
 
     ckpt = (
         StageCheckpointer(spark, args.checkpoint_dir)
@@ -106,66 +295,32 @@ def main(argv=None) -> int:
     report: dict = {"input_docs": docs.count()}
 
     def build_blocked():
-        keys = F.transform(
-            T.shingles(T.tokens(F.col("text")), 3), T.token_hash
-        )
         return ER.metablocking_pairs(
-            docs, keys, df_cap=args.df_cap,
-            min_cbs=args.min_cbs, top_n=args.top_n,
+            docs, _keys_expr(), df_cap=args.df_cap,
+            min_cbs=args.min_cbs,
+            top_n=args.top_n if args.top_n > 0 else None,
         )
 
     blocked = run_stage("blocked", build_blocked)
     report["candidate_pairs"] = blocked.count()
 
-    def compare(pairs, extra_cols=()):
-        """Agreement vector over any (a_id, b_id) pair set — shared by the
-        blocked candidates and the random u-estimation pairs so m and u
-        are measured under the identical comparator."""
-        a = docs.select(
-            F.col("doc_id").alias("a_id"),
-            F.col("text").alias("a_text"),
-            F.col("content_sha").alias("a_sha"),
-        )
-        b = docs.select(
-            F.col("doc_id").alias("b_id"),
-            F.col("text").alias("b_text"),
-            F.col("content_sha").alias("b_sha"),
-        )
-        lev = F.levenshtein("a_text", "b_text", args.lev_bound)
-        return (
-            pairs.join(a, "a_id")
-            .join(b, "b_id")
-            .withColumn(
-                "prefix_eq",
-                F.substring("a_text", 1, 32) == F.substring("b_text", 1, 32),
-            )
-            .withColumn(
-                "suffix_eq",
-                F.expr("right(a_text, 32) = right(b_text, 32)"),
-            )
-            .withColumn(
-                "size_close",
-                F.abs(F.length("a_text") - F.length("b_text")) <= 8,
-            )
-            .withColumn("lev_small", (lev >= 0) & (lev <= args.lev_bound))
-            .select(
-                "a_id", "b_id", *extra_cols, "a_sha", "b_sha",
-                "prefix_eq", "suffix_eq", "size_close", "lev_small",
-            )
-        )
+    compared = run_stage(
+        "compared", lambda: _agreements(docs, blocked, args.lev_bound, ("cbs",))
+    )
 
-    compared = run_stage("compared", lambda: compare(blocked, ("cbs",)))
-
-    fields = ["prefix_eq", "suffix_eq", "size_close", "lev_small"]
     # u from deterministic random pairings, NOT from the candidates: the
     # meta-blocking is high-precision, so the candidate set may hold no
     # non-match class at all and free two-class EM would be degenerate
     # (the Splink fixed-u protocol; see er.fs_em docstring).
     u_probs = ER.fs_u_probabilities(
-        compare(ER.random_pairs(docs, n_offsets=args.u_offsets)), fields
+        _agreements(
+            docs, ER.random_pairs(docs, n_offsets=args.u_offsets),
+            args.lev_bound,
+        ),
+        FIELDS,
     )
     params, _ = ER.fs_em(
-        compared, fields, n_iter=args.em_iters, fixed_u=u_probs
+        compared, FIELDS, n_iter=args.em_iters, fixed_u=u_probs
     )
     report["em_params"] = {
         "p": round(params["p"], 6),
@@ -175,8 +330,8 @@ def main(argv=None) -> int:
     # a field whose fitted m does not exceed its random-pair u carries no
     # match evidence on this corpus — drop it rather than let _fs_weights
     # refuse the whole model
-    kept = [f for f in fields if params["m"][f] > params["u"][f]]
-    report["dropped_fields"] = [f for f in fields if f not in kept]
+    kept = [f for f in FIELDS if params["m"][f] > params["u"][f]]
+    report["dropped_fields"] = [f for f in FIELDS if f not in kept]
     if not kept:
         raise SystemExit("run_er: every comparison field degenerate (m <= u)")
     # posterior-0.5 decision boundary: weight > log2((1-p)/p)
@@ -235,6 +390,27 @@ def main(argv=None) -> int:
         }
 
     decisions.write.mode("overwrite").parquet(args.output)
+
+    if args.state_dir:
+        posting, stats = ER.build_blocking_index(
+            docs, _keys_expr(), df_cap=args.df_cap
+        )
+        state_params = {
+            "fields": kept,
+            "m": params["m"],
+            "u": params["u"],
+            "p": params["p"],
+            "threshold_micro": threshold_micro,
+            "df_cap": args.df_cap,
+            "min_cbs": args.min_cbs,
+            "lev_bound": args.lev_bound,
+        }
+        _write_state(
+            args.state_dir, 1, docs, posting, stats,
+            decisions.select("id", "component"), state_params,
+        )
+        report["state_version"] = 1
+
     print(json.dumps(report))
     return 0
 

@@ -46,6 +46,7 @@ __all__ = [
     "fs_u_probabilities",
     "build_blocking_index",
     "incremental_blocking_pairs",
+    "update_blocking_index",
     "blocking_quality",
     "metablocking_pairs",
 ]
@@ -760,6 +761,44 @@ def incremental_blocking_pairs(
         .filter(F.col("cbs") >= int(min_cbs))
         .select("a_id", "b_id", F.col("cbs").cast("int").alias("cbs"))
     )
+
+
+def update_blocking_index(
+    posting: DataFrame,
+    stats: DataFrame,
+    batch_df: DataFrame,
+    keys: F.Column,
+    id_col: str = "doc_id",
+    df_cap: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Fold a processed batch into a build_blocking_index state: stats
+    sum per key (full-outer — batch-new keys enter, corpus-only keys
+    persist), postings union re-filtered to the UPDATED df cap. Keys
+    that cross the cap at this version drop out of the posting table and
+    stay out (df only grows — the same monotone-exclusion contract as
+    incremental_blocking_pairs). Cost: one batch shuffle + one stats
+    merge; the corpus posting table is never re-derived from text."""
+    bp = batch_df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
+    ).distinct()
+    bs = bp.groupBy("k").agg(F.count("*").alias("_df_b"))
+    stats2 = (
+        stats.select("k", "df")
+        .join(bs, "k", "full_outer")
+        .select(
+            "k",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("_df_b"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    posting2 = (
+        posting.select("k", "id")
+        .unionByName(bp.select("k", "id"))
+        .join(stats2.filter(F.col("df") <= int(df_cap)).select("k"), "k")
+    )
+    return posting2.select("k", "id"), stats2
 
 
 # -------------------------------------------------------- meta-blocking

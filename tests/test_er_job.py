@@ -61,3 +61,65 @@ def test_er_job_f1_sha_and_resume(spark, tmp_path):
     a = spark.read.parquet(out1).select("id", "component", "is_survivor")
     b = spark.read.parquet(out2).select("id", "component", "is_survivor")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_er_job_increment_chain(spark, tmp_path):
+    """Base run + two --increment runs recover the planted clustering
+    exactly: clusters only merge, versions chain, sha invariant holds."""
+    import contextlib
+    import importlib
+    import io
+
+    from kiez_spark import synth
+    from kiez_spark.operators import evaluate as EV
+
+    mod = importlib.import_module("jobs.run_er")
+    files = synth.repos_files(spark, n=800)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    base_p = str(tmp_path / "base")
+    b1_p = str(tmp_path / "b1")
+    b2_p = str(tmp_path / "b2")
+    docs.filter(F.col("doc_id") % 4 != 3).write.parquet(base_p)
+    docs.filter((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < 400)).write.parquet(b1_p)
+    docs.filter((F.col("doc_id") % 4 == 3) & (F.col("doc_id") >= 400)).write.parquet(b2_p)
+    state = str(tmp_path / "state")
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = mod.main(argv)
+        assert rc == 0
+        return json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    r0 = run(["--input", base_p, "--output", str(tmp_path / "o0"),
+              "--state-dir", state, "--top-n", "0"])
+    # base corpus: 120 planted clusters (3 members each present) + 240
+    # singletons
+    assert r0["clusters"] == 360 and r0["state_version"] == 1
+
+    r1 = run(["--increment", "--input", b1_p,
+              "--output", str(tmp_path / "o1"), "--state-dir", state])
+    # every batch-1 doc joins an existing cluster: no new entities
+    assert r1["clusters"] == 360 and r1["new_version"] == 2
+    assert r1["sha_violations"] == 0
+
+    r2 = run(["--increment", "--input", b2_p,
+              "--output", str(tmp_path / "o2"), "--state-dir", state])
+    # 20 cluster-joiners + 80 brand-new singletons
+    assert r2["clusters"] == 440 and r2["new_version"] == 3
+    assert r2["sha_violations"] == 0
+
+    # the final decisions equal the PLANTED clustering exactly
+    final = spark.read.parquet(str(tmp_path / "o2"))
+    assert final.count() == 800
+    f1 = EV.pairwise_f1(
+        EV.clusters_to_pairs(final.select("id", "component")),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).collect()[0]
+    assert (f1.tp, f1.fp, f1.fn) == (720, 0, 0)
+    # one survivor per entity, survivor = min id (matches the base rule)
+    assert final.filter("is_survivor").count() == 440
+    assert final.filter("is_survivor and id != keep_id").count() == 0
