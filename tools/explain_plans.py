@@ -327,6 +327,49 @@ def main() -> int:
     assert "Window" not in p17, "prefix_sum must not plan a stream window"
     spark.catalog.clearCache()  # release the checkpoint=False persist
 
+    # 18. incremental blocking: batch-incident pairs are key equi-joins
+    #     through the persisted index — no cartesian product anywhere,
+    #     and the df-cap gate is an aggregate, not a window
+    from kiez_spark.functions import text as T
+    from kiez_spark.operators import clustering as CCL
+    from kiez_spark.operators import er as ER
+
+    keys18 = F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+    corpus18 = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 != 3)
+    batch18 = docs.select("doc_id", "text").filter(F.col("doc_id") % 4 == 3)
+    posting18, stats18 = ER.build_blocking_index(corpus18, keys18, df_cap=64)
+    inc18 = ER.incremental_blocking_pairs(
+        batch18, keys18, posting18, stats18, df_cap=64, min_cbs=3
+    )
+    p18 = plan_of(inc18)
+    ok &= check(
+        "incremental_blocking_pairs: equi-joins + aggregate cap gate",
+        p18,
+        ["HashAggregate"],
+        dump,
+    )
+    assert "CartesianProduct" not in p18, "incremental pairs must equi-join"
+    assert "BroadcastNestedLoopJoin" not in p18, (
+        "incremental pairs must equi-join"
+    )
+
+    # 19. merge_components: the untouched-corpus pass-through is a
+    #     broadcast anti-join on component (the corpus-wide assignments
+    #     table must not shuffle against the touched-component list)
+    assign19 = CCL.connected_components(
+        inc18, nodes=docs.select("doc_id"), pair_cols=("a_id", "b_id")
+    )
+    new19 = spark.createDataFrame(
+        [(1, 2), (3, 4)], "a_id bigint, b_id bigint"
+    )
+    p19 = plan_of(CCL.merge_components(assign19, new19))
+    ok &= check(
+        "merge_components: broadcast anti-join pass-through",
+        p19,
+        ["BroadcastHashJoin", "LeftAnti"],
+        dump,
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
