@@ -125,3 +125,23 @@ def test_incremental_er_end_to_end_equals_full_rerun(spark):
     # sanity: the increment merged batch members into existing clusters
     merged = got.groupBy("component").count().filter("count >= 4").count()
     assert merged > 0
+
+
+def test_update_blocking_index_cap_crossing(spark):
+    # key 7: corpus df 2, batch df 2 -> union 4 crosses cap 3 and must
+    # leave the UPDATED posting table (monotone exclusion), while its
+    # stats row keeps the true union df; key 9 stays under cap
+    corpus = spark.createDataFrame(
+        [(1, [7, 9]), (2, [7])], "doc_id bigint, ks array<bigint>"
+    )
+    batch = spark.createDataFrame(
+        [(11, [7, 9]), (12, [7, 8])], "doc_id bigint, ks array<bigint>"
+    )
+    posting, stats = ER.build_blocking_index(corpus, F.col("ks"), df_cap=3)
+    posting2, stats2 = ER.update_blocking_index(
+        posting, stats, batch, F.col("ks"), df_cap=3
+    )
+    df_by_key = {r.k: r.df for r in stats2.collect()}
+    assert df_by_key == {7: 4, 8: 1, 9: 2}
+    got = {(r.k, r.id) for r in posting2.collect()}
+    assert got == {(9, 1), (9, 11), (8, 12)}
