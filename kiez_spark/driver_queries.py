@@ -297,6 +297,41 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_canberra(spark, sf_dir):
+    """Canberra (weighted L1, scipy convention: 0/0 terms contribute 0)
+    through the pandas kernel — the reference's sklearn exact tier
+    accepts it by name (sklearn_nearest_neighbors.py:51-101). Each
+    per-dim |a-b|/(|a|+|b|) division is IEEE exact-rounded on both
+    engines, so like manhattan the only cross-engine hazard is
+    summation order, absorbed by the 6-dp rounding convention."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "canberra", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_CANBERRA = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sum(CASE WHEN abs(a.val) + abs(b.val) = 0 THEN 0.0
+                  ELSE abs(a.val - b.val) / (abs(a.val) + abs(b.val)) END) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_knn_hamming(spark, sf_dir):
     """Boolean/hamming family of the reference's sklearn exact tier
     (sklearn_nearest_neighbors.py:51-101): mean element-wise inequality
@@ -2975,6 +3010,7 @@ QUERIES = {
     "knn_exact_manhattan": (q_knn_manhattan, SQL_KNN_MANHATTAN),
     "knn_exact_minkowski3": (q_knn_minkowski3, SQL_KNN_MINKOWSKI3),
     "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
+    "knn_exact_canberra": (q_knn_canberra, SQL_KNN_CANBERRA),
     "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),

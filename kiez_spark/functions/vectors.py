@@ -76,6 +76,23 @@ def hamming(a: Column, b: Column) -> Column:
     return ne / F.size(a).cast("double")
 
 
+def canberra(a: Column, b: Column) -> Column:
+    """Weighted L1: sum_i |a_i - b_i| / (|a_i| + |b_i|), 0/0 terms = 0
+    (scipy's convention; the reference's sklearn exact tier accepts it by
+    name, sklearn_nearest_neighbors.py:51-101)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.when(
+                F.abs(x) + F.abs(y) == 0.0, F.lit(0.0)
+            ).otherwise(F.abs(x - y) / (F.abs(x) + F.abs(y))),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def chebyshev(a: Column, b: Column) -> Column:
     """L-infinity: max_i |a_i - b_i| (minkowski p=inf limit; the
     reference's sklearn exact tier accepts it by name,
@@ -122,6 +139,8 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return chebyshev(a, b)
     if metric == "hamming":
         return hamming(a, b)
+    if metric == "canberra":
+        return canberra(a, b)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

@@ -128,6 +128,12 @@ def _metric_p(metric: str) -> float | None:
         # rides the p=1 sum-accumulation path with a per-dim binarize
         # (sign of |diff|) and a final /d — see _is_hamming call sites
         return 1.0
+    if metric == "canberra":
+        # p=1 path with a per-dim |q-x| / (|q|+|x|) normalize; 0/0 term
+        # = 0 exactly because the numerator is 0 whenever the
+        # denominator is (|q-x| <= |q|+|x|), so dividing by
+        # max(den, tiny) is exact — see _is_canberra call sites
+        return 1.0
     if metric.startswith("minkowski_"):
         p = float(metric.split("_", 1)[1])
         if p <= 0:
@@ -150,6 +156,16 @@ def _is_hamming(metric: str) -> bool:
     return metric == "hamming"
 
 
+_CANBERRA_TINY = 1e-300  # exact-zero guard: num==0 whenever den==0
+
+
+def _is_canberra(metric: str) -> bool:
+    """scipy's canberra = sum_i |q_i-x_i| / (|q_i|+|x_i|) with 0/0
+    terms dropped: the p=1 path with a per-dim normalize (see
+    _metric_p)."""
+    return metric == "canberra"
+
+
 def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     """Batched distance kernel, float64 BLAS (element-wise dim loop for
     the non-GEMM minkowski family — the reference's sklearn backend takes
@@ -157,11 +173,15 @@ def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     p = _metric_p(metric)
     if p is not None:
         ham = _is_hamming(metric)
+        canb = _is_canberra(metric)
         acc = np.zeros((qm.shape[0], xm.shape[0]), dtype=np.float64)
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm[:, dcol][:, None] - xm[:, dcol][None, :])
             if ham:
                 np.sign(diff, out=diff)
+            elif canb:
+                den = np.abs(qm[:, dcol])[:, None] + np.abs(xm[:, dcol])[None, :]
+                diff /= np.maximum(den, _CANBERRA_TINY)
             if p == np.inf:
                 np.maximum(acc, diff, out=acc)
             else:
@@ -226,6 +246,12 @@ def _topk_block(
             diff = np.abs(qm32[:, dcol][:, None] - xm32[:, dcol][None, :])
             if _is_hamming(metric):
                 np.sign(diff, out=diff)
+            elif _is_canberra(metric):
+                den = (
+                    np.abs(qm32[:, dcol])[:, None]
+                    + np.abs(xm32[:, dcol])[None, :]
+                )
+                diff /= np.maximum(den, np.float32(1e-30))
             if p == np.inf:
                 np.maximum(d32, diff, out=d32)
             else:
@@ -261,6 +287,9 @@ def _topk_block(
         diff = np.abs(qm[rows] - xm[cols])
         if _is_hamming(metric):
             dsel = np.sign(diff).sum(axis=1) / qm.shape[1]
+        elif _is_canberra(metric):
+            den = np.abs(qm[rows]) + np.abs(xm[cols])
+            dsel = (diff / np.maximum(den, _CANBERRA_TINY)).sum(axis=1)
         elif p == np.inf:
             dsel = diff.max(axis=1) if diff.size else np.zeros(len(rows))
         else:
@@ -313,6 +342,7 @@ class _BruteKnnKernel:
         self.is_cos = metric in ("cosine", "cos")
         self.p = _metric_p(metric)
         self.is_ham = _is_hamming(metric)
+        self.is_canb = _is_canberra(metric)
         n = xm.shape[0]
         if self.p is not None:
             # element-wise minkowski family: no GEMM form; tiles are
@@ -320,6 +350,9 @@ class _BruteKnnKernel:
             # still f32-select/f64-rerank)
             self.xm = xm
             self.x32 = xm.astype(np.float32)
+            if self.is_canb:
+                # per-dim |x| for the canberra normalizer, paid once
+                self.xabs32 = np.abs(self.x32)
         elif self.is_cos:
             xn = np.linalg.norm(xm, axis=1)
             xn[xn == 0] = 1.0
@@ -361,6 +394,12 @@ class _BruteKnnKernel:
         self._d = np.empty((self.batch, self.tile), dtype=np.float32)
         self._mask = np.empty((self.batch, self.tile), dtype=bool)
         self._part = np.empty((self.batch, self.tile), dtype=np.float32)
+        # canberra-only: per-dim denominator tile (|q_d| + |x_d|)
+        self._den = (
+            np.empty((self.batch, self.tile), dtype=np.float32)
+            if self.is_canb
+            else None
+        )
         self._dsub = np.empty((self.batch, self.subtile), dtype=np.float32)
         self._msub = np.empty((self.batch, self.subtile), dtype=bool)
         self._d_tail = None  # contiguous buffer for the final partial tile
@@ -391,8 +430,11 @@ class _BruteKnnKernel:
         m = len(q_ids)
         kk = min(self.k, n)
         sel = min(n, kk + self.cushion)
+        qabs32 = None
         if self.p is not None:
             q32 = qm.astype(np.float32)
+            if self.is_canb:
+                qabs32 = np.abs(q32)
         elif self.is_cos:
             qn = np.linalg.norm(qm, axis=1)
             qn[qn == 0] = 1.0
@@ -417,12 +459,24 @@ class _BruteKnnKernel:
         def fill_block(dt, lo, w):
             """Monotone-distance values for index columns [lo, lo+w)."""
             if self.p is not None:
+                def canb_norm(buf, dcol):
+                    den = self._den[:m, :w]
+                    np.add(
+                        qabs32[:, dcol][:, None],
+                        self.xabs32[lo : lo + w, dcol][None, :],
+                        out=den,
+                    )
+                    np.maximum(den, np.float32(1e-30), out=den)
+                    buf /= den
+
                 np.subtract(
                     q32[:, 0][:, None], self.x32[lo : lo + w, 0][None, :], out=dt
                 )
                 np.abs(dt, out=dt)
                 if self.is_ham:
                     np.sign(dt, out=dt)
+                elif self.is_canb:
+                    canb_norm(dt, 0)
                 elif _p_needs_power(self.p):
                     np.power(dt, np.float32(self.p), out=dt)
                 tmp = self._part[:m, :w]  # reuse the partition scratch
@@ -435,6 +489,8 @@ class _BruteKnnKernel:
                     np.abs(tmp, out=tmp)
                     if self.is_ham:
                         np.sign(tmp, out=tmp)
+                    elif self.is_canb:
+                        canb_norm(tmp, dcol)
                     elif self.p == np.inf:
                         np.maximum(dt, tmp, out=dt)
                         continue
@@ -535,17 +591,30 @@ class _BruteKnnKernel:
         if npool > self._pool_cap:
             cap = int(npool * 1.5) + 64
             self._pool = {
-                nm: np.empty(cap, dtype=np.float64) for nm in ("acc", "t1", "t2")
+                nm: np.empty(cap, dtype=np.float64)
+                for nm in ("acc", "t1", "t2", "t3")
             }
             self._pool_cap = cap
         acc = self._pool["acc"][:npool]
         t1 = self._pool["t1"][:npool]
         t2 = self._pool["t2"][:npool]
+        t3 = self._pool["t3"][:npool]
         if self.p is not None:
             acc.fill(0.0)
             for dcol in range(qm.shape[1]):
                 np.take(qm[:, dcol], rows, out=t1)
                 np.take(self.xm[:, dcol], cols, out=t2)
+                if self.is_canb:
+                    # t3 = |q-x|, t1 = max(|q|+|x|, tiny), acc += t3/t1
+                    np.subtract(t1, t2, out=t3)
+                    np.abs(t3, out=t3)
+                    np.abs(t1, out=t1)
+                    np.abs(t2, out=t2)
+                    t1 += t2
+                    np.maximum(t1, _CANBERRA_TINY, out=t1)
+                    t3 /= t1
+                    acc += t3
+                    continue
                 t1 -= t2
                 np.abs(t1, out=t1)
                 if self.is_ham:
