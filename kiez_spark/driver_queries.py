@@ -332,6 +332,42 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_braycurtis(spark, sf_dir):
+    """Bray-Curtis (sum|a-b| / sum|a+b|, scipy convention) through the
+    pandas kernel — with canberra this completes the numeric metric tail
+    of the reference's sklearn exact tier
+    (sklearn_nearest_neighbors.py:51-101). Numerator and denominator are
+    each a manhattan-class f64 sum; the final IEEE divide is
+    exact-rounded on both engines, so the 6-dp convention absorbs the
+    summation-order ulps exactly as it does for manhattan."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "braycurtis", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_BRAYCURTIS = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sum(abs(a.val - b.val))
+           / greatest(sum(abs(a.val + b.val)), 1e-300) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_knn_hamming(spark, sf_dir):
     """Boolean/hamming family of the reference's sklearn exact tier
     (sklearn_nearest_neighbors.py:51-101): mean element-wise inequality
@@ -3011,6 +3047,7 @@ QUERIES = {
     "knn_exact_minkowski3": (q_knn_minkowski3, SQL_KNN_MINKOWSKI3),
     "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
     "knn_exact_canberra": (q_knn_canberra, SQL_KNN_CANBERRA),
+    "knn_exact_braycurtis": (q_knn_braycurtis, SQL_KNN_BRAYCURTIS),
     "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),

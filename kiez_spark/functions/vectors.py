@@ -93,6 +93,25 @@ def canberra(a: Column, b: Column) -> Column:
     )
 
 
+def braycurtis(a: Column, b: Column) -> Column:
+    """Bray-Curtis dissimilarity: sum_i |a_i - b_i| / sum_i |a_i + b_i|
+    (scipy's convention; the reference's sklearn exact tier accepts it by
+    name, sklearn_nearest_neighbors.py:51-101). The all-zero-denominator
+    edge (a == -b everywhere) is guarded with a 1e-300 floor — identical
+    to the kernel's f64 rerank, so cross-tier parity holds there too."""
+    num = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x + y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return num / F.greatest(den, F.lit(1e-300))
+
+
 def chebyshev(a: Column, b: Column) -> Column:
     """L-infinity: max_i |a_i - b_i| (minkowski p=inf limit; the
     reference's sklearn exact tier accepts it by name,
@@ -141,6 +160,8 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return hamming(a, b)
     if metric == "canberra":
         return canberra(a, b)
+    if metric == "braycurtis":
+        return braycurtis(a, b)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

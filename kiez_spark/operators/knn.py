@@ -134,6 +134,10 @@ def _metric_p(metric: str) -> float | None:
         # denominator is (|q-x| <= |q|+|x|), so dividing by
         # max(den, tiny) is exact — see _is_canberra call sites
         return 1.0
+    if metric == "braycurtis":
+        # p=1 path with a SECOND per-dim accumulator (sum |q+x|) and one
+        # final num/den divide — see _is_braycurtis call sites
+        return 1.0
     if metric.startswith("minkowski_"):
         p = float(metric.split("_", 1)[1])
         if p <= 0:
@@ -166,6 +170,15 @@ def _is_canberra(metric: str) -> bool:
     return metric == "canberra"
 
 
+def _is_braycurtis(metric: str) -> bool:
+    """scipy's braycurtis = sum_i |q_i-x_i| / sum_i |q_i+x_i|: the p=1
+    path with a parallel denominator accumulator and a single divide at
+    the end (see _metric_p). The degenerate all-dims q==-x denominator
+    is floored at 1e-300 (f64) / 1e-30 (f32 selection) on every tier AND
+    in the SQL oracle, so the huge-ratio result is engine-identical."""
+    return metric == "braycurtis"
+
+
 def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     """Batched distance kernel, float64 BLAS (element-wise dim loop for
     the non-GEMM minkowski family — the reference's sklearn backend takes
@@ -174,7 +187,9 @@ def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     if p is not None:
         ham = _is_hamming(metric)
         canb = _is_canberra(metric)
+        bc = _is_braycurtis(metric)
         acc = np.zeros((qm.shape[0], xm.shape[0]), dtype=np.float64)
+        den_acc = np.zeros_like(acc) if bc else None
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm[:, dcol][:, None] - xm[:, dcol][None, :])
             if ham:
@@ -182,12 +197,18 @@ def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
             elif canb:
                 den = np.abs(qm[:, dcol])[:, None] + np.abs(xm[:, dcol])[None, :]
                 diff /= np.maximum(den, _CANBERRA_TINY)
+            elif bc:
+                den_acc += np.abs(
+                    qm[:, dcol][:, None] + xm[:, dcol][None, :]
+                )
             if p == np.inf:
                 np.maximum(acc, diff, out=acc)
             else:
                 acc += diff if p == 1.0 else diff**p
         if ham:
             acc /= qm.shape[1]
+        elif bc:
+            acc /= np.maximum(den_acc, _CANBERRA_TINY)
         return acc ** (1.0 / p) if _p_needs_power(p) else acc
     if metric in ("euclidean", "minkowski", "l2", "sqeuclidean"):
         sq = (
@@ -242,6 +263,7 @@ def _topk_block(
         qm32 = qm.astype(np.float32)
         xm32 = xm.astype(np.float32)
         d32 = np.zeros((qm.shape[0], n), dtype=np.float32)
+        den32 = np.zeros_like(d32) if _is_braycurtis(metric) else None
         for dcol in range(qm.shape[1]):
             diff = np.abs(qm32[:, dcol][:, None] - xm32[:, dcol][None, :])
             if _is_hamming(metric):
@@ -252,10 +274,16 @@ def _topk_block(
                     + np.abs(xm32[:, dcol])[None, :]
                 )
                 diff /= np.maximum(den, np.float32(1e-30))
+            elif den32 is not None:
+                den32 += np.abs(
+                    qm32[:, dcol][:, None] + xm32[:, dcol][None, :]
+                )
             if p == np.inf:
                 np.maximum(d32, diff, out=d32)
             else:
                 d32 += diff if p == 1.0 else diff**np.float32(p)
+        if den32 is not None:
+            d32 /= np.maximum(den32, np.float32(1e-30))
     else:
         qm32 = qm.astype(np.float32)
         xm32 = xm.astype(np.float32)
@@ -290,6 +318,9 @@ def _topk_block(
         elif _is_canberra(metric):
             den = np.abs(qm[rows]) + np.abs(xm[cols])
             dsel = (diff / np.maximum(den, _CANBERRA_TINY)).sum(axis=1)
+        elif _is_braycurtis(metric):
+            den = np.abs(qm[rows] + xm[cols]).sum(axis=1)
+            dsel = diff.sum(axis=1) / np.maximum(den, _CANBERRA_TINY)
         elif p == np.inf:
             dsel = diff.max(axis=1) if diff.size else np.zeros(len(rows))
         else:
@@ -343,6 +374,7 @@ class _BruteKnnKernel:
         self.p = _metric_p(metric)
         self.is_ham = _is_hamming(metric)
         self.is_canb = _is_canberra(metric)
+        self.is_bc = _is_braycurtis(metric)
         n = xm.shape[0]
         if self.p is not None:
             # element-wise minkowski family: no GEMM form; tiles are
@@ -394,10 +426,11 @@ class _BruteKnnKernel:
         self._d = np.empty((self.batch, self.tile), dtype=np.float32)
         self._mask = np.empty((self.batch, self.tile), dtype=bool)
         self._part = np.empty((self.batch, self.tile), dtype=np.float32)
-        # canberra-only: per-dim denominator tile (|q_d| + |x_d|)
+        # canberra: per-dim denominator tile (|q_d| + |x_d|);
+        # braycurtis: across-dim denominator accumulator (sum |q_d + x_d|)
         self._den = (
             np.empty((self.batch, self.tile), dtype=np.float32)
-            if self.is_canb
+            if self.is_canb or self.is_bc
             else None
         )
         self._dsub = np.empty((self.batch, self.subtile), dtype=np.float32)
@@ -479,8 +512,26 @@ class _BruteKnnKernel:
                     canb_norm(dt, 0)
                 elif _p_needs_power(self.p):
                     np.power(dt, np.float32(self.p), out=dt)
+                den = None
+                if self.is_bc:
+                    den = self._den[:m, :w]
+                    np.add(
+                        q32[:, 0][:, None],
+                        self.x32[lo : lo + w, 0][None, :],
+                        out=den,
+                    )
+                    np.abs(den, out=den)
                 tmp = self._part[:m, :w]  # reuse the partition scratch
                 for dcol in range(1, q32.shape[1]):
+                    if den is not None:
+                        # den term first — tmp is re-used for the num next
+                        np.add(
+                            q32[:, dcol][:, None],
+                            self.x32[lo : lo + w, dcol][None, :],
+                            out=tmp,
+                        )
+                        np.abs(tmp, out=tmp)
+                        den += tmp
                     np.subtract(
                         q32[:, dcol][:, None],
                         self.x32[lo : lo + w, dcol][None, :],
@@ -497,6 +548,9 @@ class _BruteKnnKernel:
                     elif self.p != 1.0:
                         np.power(tmp, np.float32(self.p), out=tmp)
                     dt += tmp
+                if den is not None:
+                    np.maximum(den, np.float32(1e-30), out=den)
+                    dt /= den
             else:
                 np.dot(q32, self.x32[lo : lo + w].T, out=dt)
             if self_r is not None:
@@ -592,15 +646,18 @@ class _BruteKnnKernel:
             cap = int(npool * 1.5) + 64
             self._pool = {
                 nm: np.empty(cap, dtype=np.float64)
-                for nm in ("acc", "t1", "t2", "t3")
+                for nm in ("acc", "acc2", "t1", "t2", "t3")
             }
             self._pool_cap = cap
         acc = self._pool["acc"][:npool]
+        acc2 = self._pool["acc2"][:npool]
         t1 = self._pool["t1"][:npool]
         t2 = self._pool["t2"][:npool]
         t3 = self._pool["t3"][:npool]
         if self.p is not None:
             acc.fill(0.0)
+            if self.is_bc:
+                acc2.fill(0.0)
             for dcol in range(qm.shape[1]):
                 np.take(qm[:, dcol], rows, out=t1)
                 np.take(self.xm[:, dcol], cols, out=t2)
@@ -615,6 +672,15 @@ class _BruteKnnKernel:
                     t3 /= t1
                     acc += t3
                     continue
+                if self.is_bc:
+                    # acc += |q-x|, acc2 += |q+x|
+                    np.subtract(t1, t2, out=t3)
+                    np.abs(t3, out=t3)
+                    acc += t3
+                    t1 += t2
+                    np.abs(t1, out=t1)
+                    acc2 += t1
+                    continue
                 t1 -= t2
                 np.abs(t1, out=t1)
                 if self.is_ham:
@@ -627,6 +693,9 @@ class _BruteKnnKernel:
                 acc += t1
             if self.is_ham:
                 acc /= qm.shape[1]
+            elif self.is_bc:
+                np.maximum(acc2, _CANBERRA_TINY, out=acc2)
+                acc /= acc2
             elif _p_needs_power(self.p):
                 np.power(acc, 1.0 / self.p, out=acc)
             dsel = acc

@@ -30,7 +30,10 @@ def _collect_nn(df):
     }
 
 
-@pytest.mark.parametrize("metric", ["manhattan", "minkowski_3", "chebyshev", "canberra"])
+@pytest.mark.parametrize(
+    "metric",
+    ["manhattan", "minkowski_3", "chebyshev", "canberra", "braycurtis"],
+)
 def test_pandas_tier_elementwise_metric_matches_expr(
     spark, source_df, target_df, metric
 ):
@@ -46,7 +49,7 @@ def test_pandas_tier_elementwise_metric_matches_expr(
         assert gdist == pytest.approx(dist, rel=1e-9), key
 
 
-@pytest.mark.parametrize("metric", ["manhattan", "chebyshev", "canberra"])
+@pytest.mark.parametrize("metric", ["manhattan", "chebyshev", "canberra", "braycurtis"])
 def test_blocked_tier_elementwise(spark, source_target, metric):
     """Blocked (cogrouped) tier supports the element-wise family too."""
     src, tgt = source_target
