@@ -20,6 +20,24 @@ monitoring surface of a production curation run.
 Usage (local smoke):
   spark-submit jobs/run_curation.py --synthetic 2000 \\
       --output /tmp/curated --checkpoint-dir /tmp/cur_ckpt
+
+Incremental mode (the daily-batch pattern): a base run with --state-dir
+persists the survivor corpus's minhash index + content shas as
+APPEND-ONLY ver=N parquet partitions (each increment writes only its
+own survivors — O(batch) state I/O per day, never O(corpus)) plus
+frozen pipeline params. --increment then curates ONLY the new batch:
+scrub -> frozen quality gate -> exact dedup within the batch AND
+against the corpus shas -> banded minhash join against the stored
+corpus index (batch x corpus only; corpus x corpus never re-pairs; the
+already-shipped corpus survivor stays canonical) -> near-dup
+clustering WITHIN the remaining batch -> frozen deterministic split.
+Survivor totals across base + increments equal a full run over the
+union (one survivor per planted cluster; tests/test_curation_job.py).
+
+  spark-submit jobs/run_curation.py --input day0.parquet \\
+      --output /tmp/cur0 --state-dir /tmp/cur_state
+  spark-submit jobs/run_curation.py --increment --input day1.parquet \\
+      --output /tmp/cur1 --state-dir /tmp/cur_state
 """
 
 from __future__ import annotations
@@ -35,6 +53,338 @@ except ModuleNotFoundError:  # pragma: no cover
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# ---------------------------------------------------------------- state
+# Layout (append-only: each version dir holds ONLY that run's additions,
+# so per-increment state I/O is O(batch); readers union every complete
+# version via parquet partition discovery):
+#   S/params.json          frozen pipeline params (written once, base run)
+#   S/index/ver=N/         minhash index delta (doc_id, sh, sig)
+#   S/shas/ver=N/          content-sha delta (doc_id, content_sha)
+#   S/assign/ver=N/        (doc_id, survivor_id) delta; LATEST ver wins
+#                          per doc_id (survivor merges re-point docs)
+#   S/tombstones/ver=N/    survivor doc_ids RETRACTED by a merge event
+#   S/VERSION              highest COMPLETE version; written last so a
+#                          killed increment's partial ver=N+1 is invisible
+#
+# The index and sha set cover ALL distinct-content quality-passing docs
+# ever seen (the near-dup stage's input), NOT just survivors: a future
+# batch doc whose only near-dup edge is to a previously DROPPED member
+# of an entity must still be recognized as that entity (transitive
+# recall — with a survivors-only index, banded recall would degrade to
+# the single direct pair batch-doc x survivor). The sha superset also
+# makes re-delivery of a whole batch an exact no-op via the sha
+# anti-join, independent of banding probabilities.
+
+_SHINGLE_N = 3
+_MINHASH_SEED = 42
+
+
+def _state_version(state_dir):
+    vf = os.path.join(state_dir, "VERSION")
+    if not os.path.exists(vf):
+        return 0
+    with open(vf) as fh:
+        return int(fh.read().strip())
+
+
+def _frozen_params(args):
+    return {
+        "min_tokens": args.min_tokens,
+        "min_uniq_frac": args.min_uniq_frac,
+        "jaccard_threshold": args.jaccard_threshold,
+        "n_hashes": args.n_hashes,
+        "bands": args.bands,
+        "shingle_n": _SHINGLE_N,
+        "seed": _MINHASH_SEED,
+        "splits": args.splits,
+    }
+
+
+def _write_state_delta(state_dir, ver, seen, assign, tombstones,
+                       params_src, D):
+    """Append version ``ver``'s delta: every distinct-content doc that
+    entered this run's near-dup stage, its (doc_id, survivor_id)
+    assignment rows (including re-points from merge events), and any
+    tombstoned survivors. ``seen`` must carry (doc_id, text,
+    content_sha); ``params_src`` is the argparse namespace (base run,
+    params frozen here) or a dict (increment, already frozen)."""
+    params = (
+        params_src if isinstance(params_src, dict)
+        else _frozen_params(params_src)
+    )
+    idx = D.build_minhash_index(
+        seen.select("doc_id", "text"),
+        n_hashes=params["n_hashes"],
+        shingle_n=params["shingle_n"],
+        seed=params["seed"],
+    )
+    idx.write.mode("overwrite").parquet(
+        os.path.join(state_dir, "index", f"ver={ver}")
+    )
+    seen.select("doc_id", "content_sha").write.mode("overwrite").parquet(
+        os.path.join(state_dir, "shas", f"ver={ver}")
+    )
+    assign.select("doc_id", "survivor_id").write.mode("overwrite").parquet(
+        os.path.join(state_dir, "assign", f"ver={ver}")
+    )
+    tombstones.select("doc_id").write.mode("overwrite").parquet(
+        os.path.join(state_dir, "tombstones", f"ver={ver}")
+    )
+    pf = os.path.join(state_dir, "params.json")
+    if not os.path.exists(pf):
+        with open(pf, "w") as fh:
+            json.dump(params, fh)
+    with open(os.path.join(state_dir, "VERSION"), "w") as fh:
+        fh.write(str(ver))
+
+
+def _read_state(spark, state_dir, ver):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    with open(os.path.join(state_dir, "params.json")) as fh:
+        params = json.load(fh)
+
+    # partition discovery surfaces `ver`; filter <= VERSION so a killed
+    # later increment's partial delta is never read
+    def deltas(name):
+        return spark.read.parquet(os.path.join(state_dir, name)).filter(
+            F.col("ver") <= ver
+        )
+
+    index = deltas("index").drop("ver")
+    shas = deltas("shas").drop("ver")
+    # assignment is latest-version-wins per doc (merge events re-point
+    # every doc of a tombstoned survivor at a later ver)
+    w = Window.partitionBy("doc_id").orderBy(F.col("ver").desc())
+    assign = (
+        deltas("assign")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn", "ver")
+    )
+    return params, index, shas, assign
+
+
+def _run_increment(args, spark):
+    """Curate ONE new batch against the persisted corpus state. The
+    corpus never re-pairs with itself; already-shipped docs stay
+    canonical (a batch component near-duplicate to the corpus is
+    dropped, never the reverse — training data already emitted is not
+    retracted).
+
+    Entity-count equality with a from-scratch run over the union is
+    EXACT, not probabilistic: within-batch connected components are
+    built over the full exact-deduped batch, then any component with at
+    least one corpus edge is dropped WHOLE. A union-CC component that
+    spans the boundary necessarily has a direct batch-to-corpus edge
+    out of every batch-side sub-component (connectivity must route
+    through such an edge), so the two-phase decomposition sees exactly
+    the union components — tested in tests/test_curation_increment.py
+    against the full-run count."""
+    from pyspark.sql import functions as F
+
+    from kiez_spark.operators import clustering as C
+    from kiez_spark.operators import curation as CUR
+    from kiez_spark.operators import dedup as D
+    from kiez_spark.operators.text_analysis import quality_features
+
+    ver = _state_version(args.state_dir)
+    if ver < 1:
+        raise SystemExit("--increment requires a base run's --state-dir state")
+    params, corpus_index, corpus_shas, corpus_assign = _read_state(
+        spark, args.state_dir, ver
+    )
+
+    if args.input:
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+    else:
+        raise SystemExit("--increment requires --input (the new batch)")
+
+    report = {"mode": "increment", "base_version": ver,
+              "batch_docs": docs.count()}
+
+    scrubbed = CUR.scrub_text(docs).join(
+        docs.select("doc_id", F.sha2("text", 256).alias("content_sha")),
+        "doc_id",
+    ).localCheckpoint(eager=False)
+    clean = scrubbed.select("doc_id", F.col("clean_text").alias("text"))
+    quality = CUR.quality_filter(
+        clean,
+        min_tokens=params["min_tokens"],
+        min_uniq_frac=params["min_uniq_frac"],
+    )
+    kept = scrubbed.join(quality.filter("keep").select("doc_id"), "doc_id")
+    report["after_quality"] = kept.count()
+
+    # exact dedup: min-id survivor within the batch, then drop anything
+    # whose content already exists in the corpus (sha anti-join — one
+    # broadcast-or-shuffle join keyed on the hash, never on text)
+    batch_first = (
+        kept.groupBy("content_sha").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = kept.join(batch_first, "doc_id")
+    exact = exact.join(
+        corpus_shas.select("content_sha"), "content_sha", "left_anti"
+    ).localCheckpoint(eager=False)
+    report["after_exact_dedup"] = exact.count()
+
+    # near-dup vs corpus: banded equi-join of the batch signatures
+    # against the STORED index (batch x corpus only) — frozen
+    # n_hashes/shingle_n/seed make the signatures comparable. Hits are
+    # resolved doc -> current survivor through the assignment state, so
+    # an edge to a previously DROPPED member still lands on its entity.
+    txt = exact.select("doc_id", F.col("clean_text").alias("text"))
+    corpus_pairs = D.minhash_lsh_join(
+        txt,
+        corpus_index=corpus_index,
+        n_hashes=params["n_hashes"],
+        bands=params["bands"],
+        shingle_n=params["shingle_n"],
+        threshold=params["jaccard_threshold"],
+        seed=params["seed"],
+    ).select("new_id", "corpus_id")
+    bridge = (
+        corpus_pairs.join(
+            corpus_assign,
+            corpus_pairs["corpus_id"] == corpus_assign["doc_id"],
+        )
+        .select("new_id", "survivor_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    # within-batch clustering over the WHOLE exact-deduped batch, then
+    # component-level corpus drop (see docstring: this — not per-doc
+    # dropping — is what makes the count equal a full union re-run)
+    pairs = D.minhash_lsh_pairs(
+        txt,
+        n_hashes=params["n_hashes"],
+        bands=params["bands"],
+        threshold=params["jaccard_threshold"],
+    ).select("src_id", "tgt_id")
+    assign = C.connected_components(
+        pairs, nodes=exact.select("doc_id"), pair_cols=("src_id", "tgt_id")
+    ).localCheckpoint(eager=False)
+    comp_bridge = (
+        assign.join(bridge, assign["id"] == bridge["new_id"])
+        .select("component", "survivor_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    touched = comp_bridge.select("component").distinct()
+    fresh_assign = assign.join(
+        touched, "component", "left_anti"
+    ).localCheckpoint(eager=False)
+    report["dropped_neardup_vs_corpus"] = (
+        report["after_exact_dedup"] - fresh_assign.count()
+    )
+
+    # merge events: a batch component bridging >= 2 shipped survivors is
+    # evidence those survivors are the SAME entity (their base-time
+    # evidence never connected them — the connecting docs arrived only
+    # now). Union-find the bridged survivors (distributed CC over the
+    # tiny survivor-pair edge set), keep the min-id canonical, tombstone
+    # the rest; every doc of a tombstoned survivor re-points to the
+    # canonical so future batches resolve transitively.
+    s0 = comp_bridge.groupBy("component").agg(
+        F.min("survivor_id").alias("_s0")
+    )
+    merge_edges = (
+        comp_bridge.join(s0, "component")
+        .filter(F.col("survivor_id") != F.col("_s0"))
+        .select(
+            F.col("_s0").alias("src_id"),
+            F.col("survivor_id").alias("tgt_id"),
+        )
+    )
+    merge_cc = C.connected_components(
+        merge_edges,
+        nodes=comp_bridge.select("survivor_id").distinct(),
+        pair_cols=("src_id", "tgt_id"),
+    ).localCheckpoint(eager=False)
+    merge_canon = merge_cc.select(
+        F.col("id").alias("_sid"), F.col("component").alias("_canon")
+    )
+    tombstones = merge_canon.filter("_sid != _canon").select(
+        F.col("_sid").alias("doc_id")
+    ).localCheckpoint(eager=False)
+    report["merged_survivors"] = tombstones.count()
+    # corpus docs whose survivor was tombstoned re-point to the canonical
+    repointed = (
+        corpus_assign.join(
+            merge_canon.filter("_sid != _canon"),
+            corpus_assign["survivor_id"] == F.col("_sid"),
+        )
+        .select("doc_id", F.col("_canon").alias("survivor_id"))
+    )
+    # touched batch docs join their component's (unique) merge group
+    comp_canon = (
+        comp_bridge.join(
+            merge_canon, comp_bridge["survivor_id"] == F.col("_sid")
+        )
+        .groupBy("component")
+        .agg(F.min("_canon").alias("survivor_id"))
+    )
+    touched_assign = assign.join(comp_canon, "component").select(
+        F.col("id").alias("doc_id"), "survivor_id"
+    )
+
+    qual = quality_features(txt, id_col="doc_id", text_col="text")
+    decisions = C.decisions_from_assignment(
+        fresh_assign.select(F.col("id"), F.col("component")),
+        quality=qual.select("doc_id", "quality"),
+    ).localCheckpoint(eager=False)
+    report["neardup_groups_gt1"] = (
+        decisions.groupBy("component").count().filter("count > 1").count()
+    )
+    survivors = decisions.filter("is_survivor").select(
+        F.col("id").alias("doc_id")
+    )
+
+    weights = {}
+    for part in params["splits"].split(","):
+        name, w = part.split(":")
+        weights[name] = float(w)
+    curated = CUR.hash_split(
+        exact.join(survivors, "doc_id").select(
+            "doc_id", F.col("clean_text").alias("text"), "content_sha"
+        ),
+        weights,
+    ).localCheckpoint(eager=False)
+    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    report["curated_docs"] = curated.count()
+    report["split_counts"] = {
+        r.split: r.cnt
+        for r in curated.groupBy("split").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+
+    new_assign = (
+        decisions.select(
+            F.col("id").alias("doc_id"), F.col("keep_id").alias("survivor_id")
+        )
+        .unionByName(touched_assign)
+        .unionByName(repointed)
+    )
+    _write_state_delta(
+        args.state_dir,
+        ver + 1,
+        exact.select(
+            "doc_id", F.col("clean_text").alias("text"), "content_sha"
+        ),
+        new_assign,
+        tombstones,
+        params,
+        D,
+    )
+    report["state_version"] = ver + 1
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of documents(doc_id, text)")
@@ -48,6 +398,10 @@ def main(argv=None) -> int:
     ap.add_argument("--n-hashes", type=int, default=32)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--splits", default="train:0.9,val:0.05,test:0.05")
+    ap.add_argument("--state-dir", default=None,
+                    help="persist survivor index/shas/params for increments")
+    ap.add_argument("--increment", action="store_true",
+                    help="curate a new batch against the --state-dir state")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +415,14 @@ def main(argv=None) -> int:
 
     owns_session = SparkSession.getActiveSession() is None
     spark = SparkSession.builder.appName("kiez-spark-curation").getOrCreate()
+
+    if args.increment:
+        if not args.state_dir:
+            ap.error("--increment requires --state-dir")
+        rc = _run_increment(args, spark)
+        if owns_session:
+            spark.stop()
+        return rc
 
     if args.synthetic:
         from kiez_spark import synth
@@ -175,6 +537,22 @@ def main(argv=None) -> int:
     # their split's directory (partition pruning at the file listing)
     curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
     report["curated_docs"] = curated.count()
+    if args.state_dir:
+        _write_state_delta(
+            args.state_dir,
+            1,
+            exact.select(
+                "doc_id", F.col("clean_text").alias("text"), "content_sha"
+            ),
+            decisions.select(
+                F.col("id").alias("doc_id"),
+                F.col("keep_id").alias("survivor_id"),
+            ),
+            spark.createDataFrame([], "doc_id bigint"),
+            args,
+            D,
+        )
+        report["state_version"] = 1
     report["split_counts"] = {
         r.split: r.cnt
         for r in curated.groupBy("split").agg(
