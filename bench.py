@@ -444,7 +444,8 @@ def main():
                 f" local[{fs_hi_c}] {t_fhi:.1f}s, efficiency {f_eff:.2f}",
                 file=sys.stderr,
             )
-            time.sleep(20)  # drain before the mid pairs
+            # no extra drain here: the mid block below drains itself
+            # (SPARK_GRAFT_MID_DRAIN) before every pair, including pair 0
 
     # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
     # interleaved-min like the primary block. Runs LAST: 16 python
@@ -466,16 +467,22 @@ def main():
         # bar-clears rule is optional stopping and would bias the
         # recorded efficiency upward; the count is fixed up front
         mid_pairs_n = int(os.environ.get("SPARK_GRAFT_SCALE_MID_PAIRS", "3"))
+        # 2026-08-17 probes pinned the throttle's shape: LOAD-TRIGGERED
+        # with a minutes-long release (a cold-start pair measured 0.87
+        # while pairs 20s later in the same run fell to 0.60 on
+        # identical code+data). 20s drains therefore under-read this
+        # pair systematically; default to 120s before EACH mid pair —
+        # including the first, which follows the suite's sustained load.
+        mid_drain = int(os.environ.get("SPARK_GRAFT_MID_DRAIN", "120"))
         if mid_pairs_n > 0:
             m_lo_walls, m_hi_walls = [], []
             for i in range(mid_pairs_n):
-                # the previous 16-worker run saturates past the
-                # hypervisor-throttle threshold and its usage-accounting
-                # tail inflates the NEXT measurement (documented in
-                # BASELINE.md; the same reason the mid block runs after
-                # the suite) — let the accounting drain between pairs
-                if i:
-                    time.sleep(20)
+                # every preceding block (suite, fs leg, earlier mid
+                # pairs) saturates past the hypervisor-throttle
+                # threshold and the throttle outlives the load
+                # (documented in BASELINE.md; the same reason the mid
+                # block runs after the suite) — let it release fully
+                time.sleep(mid_drain)
                 t_mlo, _ = timed_flagship(mid_lo)
                 t_mhi, _ = timed_flagship(mid_hi)
                 m_lo_walls.append(round(t_mlo, 3))
