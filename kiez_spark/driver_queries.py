@@ -1322,6 +1322,94 @@ FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
 """
 
 
+def q_er_bcubed(spark, sf_dir):
+    """B-cubed precision/recall/F1 of the docs2 near-dup CC clustering
+    against (a) the intrinsic entity gold (doc and its planted mutated
+    copy share an entity) and (b) a deliberately 4x-coarser entity
+    grouping — the second row exercises the metric at non-trivial
+    fractional values (pred ⊂ gold there, so precision stays 1 while
+    recall measures the refinement). Record-averaged sums are f64 on
+    both engines with the same per-row division shape; 6-dp rounding
+    absorbs summation-order ulps (the manhattan-class convention)."""
+    docs2 = _docs2(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2, n_hashes=16, bands=4, threshold=0.5)
+    nodes = docs2.select(F.col("doc_id").alias("id"))
+    pred = CC.connected_components(pairs, nodes).select("id", "component")
+    entity = (
+        F.when(F.col("id") >= 100000, F.col("id") - 100000)
+        .otherwise(F.col("id"))
+        .cast("bigint")
+    )
+    base = docs2.select(F.col("doc_id").alias("id"))
+    gold_entity = base.select("id", entity.alias("component"))
+    gold_coarse = base.select(
+        "id", F.expr(
+            "CAST((CASE WHEN id >= 100000 THEN id - 100000 ELSE id END)"
+            " DIV 4 AS BIGINT)"
+        ).alias("component")
+    )
+    out = None
+    for kind, gold in (("coarse4", gold_coarse), ("entity", gold_entity)):
+        row = E.bcubed(pred, gold).select(
+            F.lit(kind).alias("gold_kind"),
+            F.round("b3_precision", 6).alias("b3_precision"),
+            F.round("b3_recall", 6).alias("b3_recall"),
+            F.round("b3_f1", 6).alias("b3_f1"),
+            "n_records",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_ER_BCUBED = f"""
+WITH RECURSIVE {_SIGS2_SQL},
+edges AS (SELECT src_id AS u, tgt_id AS v FROM jac WHERE jaccard >= 0.5),
+sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+pred AS (
+  SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS c
+  FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+),
+base AS (
+  SELECT id, c,
+         CASE WHEN id >= 100000 THEN id - 100000 ELSE id END AS entity
+  FROM pred
+),
+b3 AS (
+  SELECT 'entity' AS gold_kind, id, c, entity AS g FROM base
+  UNION ALL
+  SELECT 'coarse4' AS gold_kind, id, c, entity // 4 AS g FROM base
+),
+inter AS (SELECT gold_kind, c, g, count(*) AS ncg FROM b3 GROUP BY 1, 2, 3),
+szc AS (SELECT gold_kind, c, count(*) AS nc FROM b3 GROUP BY 1, 2),
+szg AS (SELECT gold_kind, g, count(*) AS ng FROM b3 GROUP BY 1, 2),
+per AS (
+  SELECT i.gold_kind, i.ncg, szc.nc, szg.ng
+  FROM inter i
+  JOIN szc ON i.gold_kind = szc.gold_kind AND i.c = szc.c
+  JOIN szg ON i.gold_kind = szg.gold_kind AND i.g = szg.g
+),
+agg AS (
+  SELECT gold_kind,
+         sum(ncg * ncg / nc) AS sp,
+         sum(ncg * ncg / ng) AS sr,
+         sum(ncg) AS n
+  FROM per GROUP BY gold_kind
+)
+SELECT gold_kind,
+       round(sp / n, 6) AS b3_precision,
+       round(sr / n, 6) AS b3_recall,
+       round(2 * (sp / n) * (sr / n) / ((sp / n) + (sr / n)), 6) AS b3_f1,
+       n::BIGINT AS n_records
+FROM agg
+"""
+
+
 # ------------------------------------------------------- generic relational
 
 
@@ -3048,6 +3136,7 @@ QUERIES = {
     "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
     "knn_exact_canberra": (q_knn_canberra, SQL_KNN_CANBERRA),
     "knn_exact_braycurtis": (q_knn_braycurtis, SQL_KNN_BRAYCURTIS),
+    "er_bcubed": (q_er_bcubed, SQL_ER_BCUBED),
     "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),

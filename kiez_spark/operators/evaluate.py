@@ -1,4 +1,4 @@
-"""Evaluation metrics: hits@k and pairwise precision/recall/F1.
+"""Evaluation metrics: hits@k, pairwise precision/recall/F1, B-cubed.
 
 hits@k mirrors /root/reference/kiez/evaluate/eval_metrics.py:7-61: the
 fraction of gold (src -> tgt) pairs whose tgt appears among src's top-k
@@ -81,6 +81,53 @@ def pairwise_f1(
     return spark.createDataFrame(
         [(tp, fp, fn, precision, recall, f1)],
         "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    )
+
+
+def bcubed(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    pred_col: str = "component",
+    gold_col: str = "component",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) — the standard
+    record-averaged ER clustering metric, complementing ``pairwise_f1``
+    (pairwise metrics over-weight large clusters quadratically; B-cubed
+    weights every record once). For record r in predicted cluster c and
+    gold cluster g: p_r = |c∩g|/|c|, r_r = |c∩g|/|g|; the metric is the
+    mean over records, computed in aggregate as sum(n_cg²/n_c)/N and
+    sum(n_cg²/n_g)/N over the (c, g) contingency table.
+
+    One row: (b3_precision, b3_recall, b3_f1, n_records). 100 TB shape:
+    three map-side-combinable groupBys (contingency cells, cluster
+    sizes, gold sizes) + joins keyed on cluster ids — the shuffles carry
+    one row per cluster/cell, never per record, and a skewed giant
+    cluster still combines map-side to a single cell row per partition.
+    """
+    joined = pred.select(
+        F.col(id_col).alias("_id"), F.col(pred_col).alias("_c")
+    ).join(
+        gold.select(F.col(id_col).alias("_id"), F.col(gold_col).alias("_g")),
+        "_id",
+    )
+    inter = joined.groupBy("_c", "_g").agg(F.count(F.lit(1)).alias("ncg"))
+    nc = joined.groupBy("_c").agg(F.count(F.lit(1)).alias("nc"))
+    ng = joined.groupBy("_g").agg(F.count(F.lit(1)).alias("ng"))
+    per = inter.join(nc, "_c").join(ng, "_g")
+    agg = per.agg(
+        F.sum(F.col("ncg") * F.col("ncg") / F.col("nc")).alias("sp"),
+        F.sum(F.col("ncg") * F.col("ncg") / F.col("ng")).alias("sr"),
+        F.sum("ncg").alias("n"),
+    )
+    return agg.select(
+        (F.col("sp") / F.col("n")).alias("b3_precision"),
+        (F.col("sr") / F.col("n")).alias("b3_recall"),
+        (
+            2.0 * (F.col("sp") / F.col("n")) * (F.col("sr") / F.col("n"))
+            / ((F.col("sp") / F.col("n")) + (F.col("sr") / F.col("n")))
+        ).alias("b3_f1"),
+        F.col("n").cast("bigint").alias("n_records"),
     )
 
 
