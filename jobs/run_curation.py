@@ -38,6 +38,16 @@ union (one survivor per planted cluster; tests/test_curation_job.py).
       --output /tmp/cur0 --state-dir /tmp/cur_state
   spark-submit jobs/run_curation.py --increment --input day1.parquet \\
       --output /tmp/cur1 --state-dir /tmp/cur_state
+
+Streaming mode drives the SAME increment core from a parquet file
+stream (one file per micro-batch, foreachBatch, availableNow):
+
+  spark-submit jobs/run_curation.py --stream-input /data/incoming \\
+      --output /tmp/cur_stream --state-dir /tmp/cur_state
+
+foreachBatch is at-least-once; replays are safe because a re-delivered
+batch sha-collides with the state its first execution wrote and curates
+to zero survivors (tested).
 """
 
 from __future__ import annotations
@@ -167,11 +177,22 @@ def _read_state(spark, state_dir, ver):
 
 
 def _run_increment(args, spark):
-    """Curate ONE new batch against the persisted corpus state. The
-    corpus never re-pairs with itself; already-shipped docs stay
-    canonical (a batch component near-duplicate to the corpus is
-    dropped, never the reverse — training data already emitted is not
-    retracted).
+    if not args.input:
+        raise SystemExit("--increment requires --input (the new batch)")
+    docs = spark.read.parquet(args.input).select("doc_id", "text")
+    report = _curate_increment(spark, docs, args.state_dir, args.output)
+    print(json.dumps(report))
+    return 0
+
+
+def _curate_increment(spark, docs, state_dir, output_dir):
+    """Curate ONE new batch of (doc_id, text) against the persisted
+    corpus state; the reusable core behind both ``--increment`` (one
+    batch per process) and ``--stream-input`` (one call per micro-batch
+    inside foreachBatch). The corpus never re-pairs with itself;
+    already-shipped docs stay canonical (a batch component
+    near-duplicate to the corpus is dropped, never the reverse —
+    training data already emitted is not retracted).
 
     Entity-count equality with a from-scratch run over the union is
     EXACT, not probabilistic: within-batch connected components are
@@ -189,17 +210,12 @@ def _run_increment(args, spark):
     from kiez_spark.operators import dedup as D
     from kiez_spark.operators.text_analysis import quality_features
 
-    ver = _state_version(args.state_dir)
+    ver = _state_version(state_dir)
     if ver < 1:
         raise SystemExit("--increment requires a base run's --state-dir state")
     params, corpus_index, corpus_shas, corpus_assign = _read_state(
-        spark, args.state_dir, ver
+        spark, state_dir, ver
     )
-
-    if args.input:
-        docs = spark.read.parquet(args.input).select("doc_id", "text")
-    else:
-        raise SystemExit("--increment requires --input (the new batch)")
 
     report = {"mode": "increment", "base_version": ver,
               "batch_docs": docs.count()}
@@ -353,7 +369,7 @@ def _run_increment(args, spark):
         ),
         weights,
     ).localCheckpoint(eager=False)
-    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    curated.write.mode("overwrite").partitionBy("split").parquet(output_dir)
     report["curated_docs"] = curated.count()
     report["split_counts"] = {
         r.split: r.cnt
@@ -370,7 +386,7 @@ def _run_increment(args, spark):
         .unionByName(repointed)
     )
     _write_state_delta(
-        args.state_dir,
+        state_dir,
         ver + 1,
         exact.select(
             "doc_id", F.col("clean_text").alias("text"), "content_sha"
@@ -381,7 +397,57 @@ def _run_increment(args, spark):
         D,
     )
     report["state_version"] = ver + 1
-    print(json.dumps(report))
+    return report
+
+
+def _run_stream(args, spark):
+    """Continuous curation: a parquet-directory file stream of
+    (doc_id, text) batches, each micro-batch curated against the state
+    through the SAME `_curate_increment` core (foreachBatch). Per-epoch
+    survivors land under <output>/epoch=<id>/.
+
+    Delivery semantics: Structured Streaming's checkpoint gives
+    at-least-once foreachBatch execution — and at-least-once is SAFE
+    here by construction: a replayed micro-batch sha-collides with the
+    state its first execution wrote and curates to zero survivors (the
+    tested re-delivery no-op in tests/test_curation_increment.py), so
+    duplicated epochs cost I/O, never corpus corruption."""
+    from pyspark.sql import functions as F
+
+    if not args.state_dir:
+        raise SystemExit("--stream-input requires --state-dir")
+    reports = []
+
+    def handle(batch_df, epoch_id):
+        # EAGER barrier: the micro-batch frame is a LogicalRDD, and the
+        # core's lazy localCheckpoints cannot rewrite a plan that nests
+        # one (the key-not-found analysis failure documented in
+        # clustering.merge_components) — materialize it clean first
+        docs = batch_df.select("doc_id", "text").localCheckpoint()
+        rep = _curate_increment(
+            spark, docs, args.state_dir,
+            os.path.join(args.output, f"epoch={epoch_id}"),
+        )
+        rep["epoch"] = epoch_id
+        reports.append(rep)
+        print(json.dumps(rep))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(args.stream_input)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            args.checkpoint_dir or os.path.join(args.output, "_stream_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(json.dumps({"mode": "stream", "epochs": len(reports)}))
     return 0
 
 
@@ -402,6 +468,9 @@ def main(argv=None) -> int:
                     help="persist survivor index/shas/params for increments")
     ap.add_argument("--increment", action="store_true",
                     help="curate a new batch against the --state-dir state")
+    ap.add_argument("--stream-input", default=None,
+                    help="parquet dir consumed as a file stream; each "
+                         "micro-batch curates incrementally (foreachBatch)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -420,6 +489,11 @@ def main(argv=None) -> int:
         if not args.state_dir:
             ap.error("--increment requires --state-dir")
         rc = _run_increment(args, spark)
+        if owns_session:
+            spark.stop()
+        return rc
+    if args.stream_input:
+        rc = _run_stream(args, spark)
         if owns_session:
             spark.stop()
         return rc

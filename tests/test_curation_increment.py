@@ -112,3 +112,75 @@ def test_base_plus_increment_recovers_union_entities(spark, tmp_path):
     assert rep2["curated_docs"] == 0
     assert rep2["merged_survivors"] == 0
     assert rep2["state_version"] == 3
+
+
+def test_stream_mode_curates_per_microbatch(spark, tmp_path):
+    """--stream-input consumes a parquet file stream one file per
+    micro-batch through the same increment core; per-epoch survivors
+    land under epoch dirs and the state version advances per epoch."""
+    import contextlib
+    import importlib
+    import io
+    import json as _json
+
+    from kiez_spark import synth
+
+    mod = importlib.import_module("jobs.run_curation")
+    n = 300
+    files = synth.repos_files(spark, n=n)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    base_p = str(tmp_path / "base.parquet")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(base_p)
+    stream_dir = tmp_path / "stream_in"
+    stream_dir.mkdir()
+    # two single-file arrivals = two micro-batches
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(
+        str(tmp_path / "b1")
+    )
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(
+        str(tmp_path / "b2")
+    )
+    import shutil
+
+    for i, src in enumerate(("b1", "b2")):
+        part = next((tmp_path / src).glob("part-*.parquet"))
+        shutil.copy(part, stream_dir / f"batch{i}.parquet")
+
+    state = str(tmp_path / "state")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert mod.main([
+            "--input", base_p, "--output", str(tmp_path / "out0"),
+            "--state-dir", state,
+        ]) == 0
+        spark.catalog.clearCache()
+        assert mod.main([
+            "--stream-input", str(stream_dir),
+            "--output", str(tmp_path / "outs"), "--state-dir", state,
+        ]) == 0
+        spark.catalog.clearCache()
+    lines = [_json.loads(ln) for ln in buf.getvalue().strip().splitlines()]
+    rep0, epochs, tail = lines[0], lines[1:-1], lines[-1]
+    assert tail == {"mode": "stream", "epochs": 2}
+    assert [e["state_version"] for e in epochs] == [2, 3]
+
+    gold_entities = (
+        files.filter(F.col("is_clustered"))
+        .select("cluster_id").distinct().count()
+        + files.filter(~F.col("is_clustered")).count()
+    )
+    total = (
+        rep0["curated_docs"]
+        + sum(e["curated_docs"] for e in epochs)
+        - sum(e["merged_survivors"] for e in epochs)
+    )
+    assert total == gold_entities, (lines, gold_entities)
+    # per-epoch outputs exist where survivors were emitted
+    for e in epochs:
+        if e["curated_docs"]:
+            got = spark.read.parquet(
+                str(tmp_path / "outs" / f"epoch={e['epoch']}")
+            ).count()
+            assert got == e["curated_docs"]
