@@ -22,17 +22,18 @@ Usage (local smoke):
       --output /tmp/curated --checkpoint-dir /tmp/cur_ckpt
 
 Incremental mode (the daily-batch pattern): a base run with --state-dir
-persists the survivor corpus's minhash index + content shas as
-APPEND-ONLY ver=N parquet partitions (each increment writes only its
-own survivors — O(batch) state I/O per day, never O(corpus)) plus
-frozen pipeline params. --increment then curates ONLY the new batch:
-scrub -> frozen quality gate -> exact dedup within the batch AND
-against the corpus shas -> banded minhash join against the stored
-corpus index (batch x corpus only; corpus x corpus never re-pairs; the
-already-shipped corpus survivor stays canonical) -> near-dup
-clustering WITHIN the remaining batch -> frozen deterministic split.
-Survivor totals across base + increments equal a full run over the
-union (one survivor per planted cluster; tests/test_curation_job.py).
+persists the minhash index + content shas of EVERY distinct-content
+quality-passing doc as APPEND-ONLY ver=N parquet partitions (each
+increment writes only its own batch's rows — O(batch) state I/O per
+day, never O(corpus)) plus frozen pipeline params. --increment then
+curates ONLY the new batch: scrub -> frozen quality gate -> exact dedup
+within the batch AND against the corpus shas -> banded minhash join
+against the stored corpus index (batch x corpus only; corpus x corpus
+never re-pairs; already-shipped docs stay canonical) -> within-batch
+connected components with component-level corpus drops and
+survivor-merge tombstones -> frozen deterministic split. With merges
+subtracted, base + increments equal a full run over the union EXACTLY
+(tests/test_curation_increment.py).
 
   spark-submit jobs/run_curation.py --input day0.parquet \\
       --output /tmp/cur0 --state-dir /tmp/cur_state
@@ -48,6 +49,13 @@ stream (one file per micro-batch, foreachBatch, availableNow):
 foreachBatch is at-least-once; replays are safe because a re-delivered
 batch sha-collides with the state its first execution wrote and curates
 to zero survivors (tested).
+
+--compact-state folds all live ver=N deltas into one snapshot version
+and atomically advances the read base, so state reads scale with the
+number of versions since the last compaction, not since day 0:
+
+  spark-submit jobs/run_curation.py --compact-state \\
+      --state-dir /tmp/cur_state
 """
 
 from __future__ import annotations
@@ -73,8 +81,11 @@ except ModuleNotFoundError:  # pragma: no cover
 #   S/assign/ver=N/        (doc_id, survivor_id) delta; LATEST ver wins
 #                          per doc_id (survivor merges re-point docs)
 #   S/tombstones/ver=N/    survivor doc_ids RETRACTED by a merge event
-#   S/VERSION              highest COMPLETE version; written last so a
-#                          killed increment's partial ver=N+1 is invisible
+#   S/VERSION              "N" or "N B": highest COMPLETE version, plus
+#                          (after --compact-state) the first version a
+#                          reader must scan; written last, atomically,
+#                          so a killed increment's partial ver=N+1 is
+#                          invisible and version/base can never disagree
 #
 # The index and sha set cover ALL distinct-content quality-passing docs
 # ever seen (the near-dup stage's input), NOT just survivors: a future
@@ -90,11 +101,23 @@ _MINHASH_SEED = 42
 
 
 def _state_version(state_dir):
+    """(version, base): VERSION holds "N" or "N B" — B is the first
+    version a reader must scan (everything older was folded into the
+    ver=B compaction snapshot). One file, one atomic write: there is no
+    ordering window where version and base could disagree."""
     vf = os.path.join(state_dir, "VERSION")
     if not os.path.exists(vf):
-        return 0
+        return 0, 1
     with open(vf) as fh:
-        return int(fh.read().strip())
+        parts = fh.read().split()
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else 1
+
+
+def _write_version(state_dir, ver, base):
+    tmp = os.path.join(state_dir, "VERSION.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{ver} {base}" if base > 1 else str(ver))
+    os.replace(tmp, os.path.join(state_dir, "VERSION"))
 
 
 def _frozen_params(args):
@@ -111,13 +134,14 @@ def _frozen_params(args):
 
 
 def _write_state_delta(state_dir, ver, seen, assign, tombstones,
-                       params_src, D):
+                       params_src, D, base=1):
     """Append version ``ver``'s delta: every distinct-content doc that
     entered this run's near-dup stage, its (doc_id, survivor_id)
     assignment rows (including re-points from merge events), and any
     tombstoned survivors. ``seen`` must carry (doc_id, text,
     content_sha); ``params_src`` is the argparse namespace (base run,
-    params frozen here) or a dict (increment, already frozen)."""
+    params frozen here) or a dict (increment, already frozen);
+    ``base`` is preserved from the current VERSION file."""
     params = (
         params_src if isinstance(params_src, dict)
         else _frozen_params(params_src)
@@ -144,11 +168,10 @@ def _write_state_delta(state_dir, ver, seen, assign, tombstones,
     if not os.path.exists(pf):
         with open(pf, "w") as fh:
             json.dump(params, fh)
-    with open(os.path.join(state_dir, "VERSION"), "w") as fh:
-        fh.write(str(ver))
+    _write_version(state_dir, ver, base)
 
 
-def _read_state(spark, state_dir, ver):
+def _read_state(spark, state_dir, ver, base=1):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -156,10 +179,11 @@ def _read_state(spark, state_dir, ver):
         params = json.load(fh)
 
     # partition discovery surfaces `ver`; filter <= VERSION so a killed
-    # later increment's partial delta is never read
+    # later increment's partial delta is never read, and >= base so a
+    # compaction snapshot is not double-counted with the deltas it folded
     def deltas(name):
         return spark.read.parquet(os.path.join(state_dir, name)).filter(
-            F.col("ver") <= ver
+            (F.col("ver") <= ver) & (F.col("ver") >= base)
         )
 
     index = deltas("index").drop("ver")
@@ -210,11 +234,11 @@ def _curate_increment(spark, docs, state_dir, output_dir):
     from kiez_spark.operators import dedup as D
     from kiez_spark.operators.text_analysis import quality_features
 
-    ver = _state_version(state_dir)
+    ver, base = _state_version(state_dir)
     if ver < 1:
         raise SystemExit("--increment requires a base run's --state-dir state")
     params, corpus_index, corpus_shas, corpus_assign = _read_state(
-        spark, state_dir, ver
+        spark, state_dir, ver, base
     )
 
     report = {"mode": "increment", "base_version": ver,
@@ -395,9 +419,47 @@ def _curate_increment(spark, docs, state_dir, output_dir):
         tombstones,
         params,
         D,
+        base=base,
     )
     report["state_version"] = ver + 1
     return report
+
+
+def _run_compact(args, spark):
+    """Fold every live state delta into one ver=N+1 snapshot and advance
+    base to it: reads stop fanning in over the whole increment history
+    (file listings, and the assign latest-wins window, scale with the
+    number of versions since the last compaction, not since day 0).
+    Crash-safe: the snapshot dirs land first, then the single VERSION
+    file flips (version, base) atomically via rename — a killed compact
+    leaves the old state fully live, with no window where the snapshot
+    and the deltas it folds could both be read. Historical tombstone
+    dirs are left in place (they are the retraction log, not read
+    state)."""
+    ver, base = _state_version(args.state_dir)
+    if ver < 1:
+        raise SystemExit("--compact-state requires an existing state")
+    params, index, shas, assign = _read_state(
+        spark, args.state_dir, ver, base
+    )
+    ver2 = ver + 1
+    for name, df in (("index", index), ("shas", shas), ("assign", assign)):
+        df.write.mode("overwrite").parquet(
+            os.path.join(args.state_dir, name, f"ver={ver2}")
+        )
+    spark.createDataFrame([], "doc_id bigint").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.state_dir, "tombstones", f"ver={ver2}"))
+    _write_version(args.state_dir, ver2, ver2)
+    report = {
+        "mode": "compact",
+        "state_version": ver2,
+        "base": ver2,
+        "folded_versions": ver - base + 1,
+        "docs": shas.count(),
+    }
+    print(json.dumps(report))
+    return 0
 
 
 def _run_stream(args, spark):
@@ -456,7 +518,9 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="parquet path of documents(doc_id, text)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic docs instead of --input")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output",
+                    help="survivor parquet dir (required except with "
+                         "--compact-state)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--min-uniq-frac", type=float, default=0.30)
@@ -471,7 +535,12 @@ def main(argv=None) -> int:
     ap.add_argument("--stream-input", default=None,
                     help="parquet dir consumed as a file stream; each "
                          "micro-batch curates incrementally (foreachBatch)")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="fold all live state deltas into one snapshot "
+                         "version and advance the read base")
     args = ap.parse_args(argv)
+    if not args.compact_state and not args.output:
+        ap.error("--output is required")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -494,6 +563,13 @@ def main(argv=None) -> int:
         return rc
     if args.stream_input:
         rc = _run_stream(args, spark)
+        if owns_session:
+            spark.stop()
+        return rc
+    if args.compact_state:
+        if not args.state_dir:
+            ap.error("--compact-state requires --state-dir")
+        rc = _run_compact(args, spark)
         if owns_session:
             spark.stop()
         return rc

@@ -114,6 +114,67 @@ def test_base_plus_increment_recovers_union_entities(spark, tmp_path):
     assert rep2["state_version"] == 3
 
 
+def test_compact_state_preserves_increment_semantics(spark, tmp_path):
+    """base(A) -> inc(B) -> --compact-state -> inc(C) must equal the
+    non-compacted chain exactly: the snapshot folds every live delta,
+    the read base advances (VERSION = 'N B'), nothing double-counts."""
+    from kiez_spark import synth
+
+    n = 450
+    files = synth.repos_files(spark, n=n)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    parts = {}
+    for i in range(3):
+        p = str(tmp_path / f"p{i}.parquet")
+        docs.filter(F.col("doc_id") % 3 == i).write.parquet(p)
+        parts[i] = p
+
+    state = str(tmp_path / "state")
+    rep0 = _run(spark, [
+        "--input", parts[0], "--output", str(tmp_path / "o0"),
+        "--state-dir", state,
+    ])
+    rep1 = _run(spark, [
+        "--increment", "--input", parts[1],
+        "--output", str(tmp_path / "o1"), "--state-dir", state,
+    ])
+    repc = _run(spark, ["--compact-state", "--state-dir", state])
+    assert repc == {
+        "mode": "compact", "state_version": 3, "base": 3,
+        "folded_versions": 2,
+        "docs": rep0["after_exact_dedup"] + rep1["after_exact_dedup"],
+    }
+    with open(os.path.join(state, "VERSION")) as fh:
+        assert fh.read() == "3 3"
+
+    rep2 = _run(spark, [
+        "--increment", "--input", parts[2],
+        "--output", str(tmp_path / "o2"), "--state-dir", state,
+    ])
+    assert rep2["base_version"] == 3 and rep2["state_version"] == 4
+
+    gold_entities = (
+        files.filter(F.col("is_clustered"))
+        .select("cluster_id").distinct().count()
+        + files.filter(~F.col("is_clustered")).count()
+    )
+    total = (
+        rep0["curated_docs"] + rep1["curated_docs"] + rep2["curated_docs"]
+        - rep1["merged_survivors"] - rep2["merged_survivors"]
+    )
+    assert total == gold_entities, (rep0, rep1, repc, rep2, gold_entities)
+
+    # re-delivering an OLD (pre-compaction) batch is still a no-op: the
+    # snapshot carries the full sha history
+    rep3 = _run(spark, [
+        "--increment", "--input", parts[1],
+        "--output", str(tmp_path / "o3"), "--state-dir", state,
+    ])
+    assert rep3["curated_docs"] == 0 and rep3["merged_survivors"] == 0
+
+
 def test_stream_mode_curates_per_microbatch(spark, tmp_path):
     """--stream-input consumes a parquet file stream one file per
     micro-batch through the same increment core; per-epoch survivors
