@@ -370,6 +370,25 @@ def main() -> int:
         dump,
     )
 
+    # 21. bcubed: the contingency-table aggregations partial-aggregate
+    #     map-side (HashAggregate before the exchange), so the shuffles
+    #     carry one row per cluster/cell, never per record
+    from kiez_spark.operators import evaluate as EV
+
+    pred21 = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 7).alias("component")
+    )
+    gold21 = docs.select(
+        F.col("doc_id").alias("id"), (F.col("doc_id") % 5).alias("component")
+    )
+    p21 = plan_of(EV.bcubed(pred21, gold21))
+    ok &= check(
+        "bcubed: map-side partial aggregation of contingency cells",
+        p21,
+        ["partial_count", "HashAggregate"],
+        dump,
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
