@@ -29,16 +29,22 @@ rows/signature metrics); re-running with the same --checkpoint-dir picks
 up after the last complete stage.
 
 INCREMENT MODE (the 10^12-file production loop — never re-cluster from
-scratch): a base run with --state-dir persists the blocking index
-(df-capped postings + per-key stats), the corpus docs, the cluster
-assignments and the fitted FS parameters as version v1. A later run with
---increment --state-dir links ONLY the new batch: batch x corpus +
-batch x batch candidates through the persisted index (corpus x corpus
-never re-pairs), scoring with the SAVED m/u/threshold (no re-fit — score
-consistency across increments), and a touched-component-only cluster
-merge. Writes v{K+1} state; clusters are monotone (merge, never split).
-With --top-n 0 on the base run, chained increments are provably equal to
-a full re-run on the combined corpus (tests/test_er_job.py).
+scratch): a base run with --state-dir persists the blocking index (raw
+postings + per-key df), the corpus docs, the cluster assignments and
+the fitted FS parameters as APPEND-ONLY ver=N parquet deltas. A later
+run with --increment --state-dir links ONLY the new batch: batch x
+corpus + batch x batch candidates through the persisted index (corpus
+x corpus never re-pairs), scoring with the SAVED m/u/threshold (no
+re-fit — score consistency across increments), and a
+touched-component-only cluster merge. The state write is O(batch):
+the batch's docs/postings/df rows plus ONLY the changed assignment
+rows (latest-version-wins at read); the df-capped posting table is
+reconstructed from (raw union, summed df), which equals chaining
+update_blocking_index exactly. Clusters are monotone (merge, never
+split). With --top-n 0 on the base run, chained increments are
+provably equal to a full re-run on the combined corpus
+(tests/test_er_job.py). --compact-state folds the live deltas into one
+snapshot version and advances the read base.
 
 Usage (local smoke):
   spark-submit jobs/run_er.py --synthetic 800 \\
@@ -124,26 +130,90 @@ def _survivors(assign):
     )
 
 
+# State layout — APPEND-ONLY ver=N parquet partitions, so a daily
+# increment writes O(batch) state rows, never O(corpus) (the same delta
+# design as jobs/run_curation.py):
+#   S/params.json          frozen FS params etc. (written once, base run)
+#   S/docs/ver=N/          that version's docs (doc_id, text, content_sha)
+#   S/posting_raw/ver=N/   that version's UNCAPPED (k, id) postings
+#   S/stats/ver=N/         that version's per-key df contribution (k, df)
+#   S/assign/ver=N/        (id, component) CHANGED rows only; LATEST ver
+#                          wins per id (merges re-point touched rows)
+#   S/VERSION              "N" or "N B" (version, read base) — one atomic
+#                          rename, so a killed write is invisible and
+#                          version/base can never disagree
+# Readers reconstruct the capped posting table by filtering the raw
+# union on the SUMMED df (cap membership depends only on total
+# frequency — exactly update_blocking_index's semantics), and the
+# assignment table latest-wins per id. --compact-state folds the live
+# deltas into one snapshot version and advances the base.
+
+
 def _state_version(state_dir):
     vf = os.path.join(state_dir, "VERSION")
     if not os.path.exists(vf):
-        return 0
+        return 0, 1
     with open(vf) as fh:
-        return int(fh.read().strip())
+        parts = fh.read().split()
+    return int(parts[0]), int(parts[1]) if len(parts) > 1 else 1
 
 
-def _write_state(state_dir, ver, docs, posting, stats, assign, params):
-    base = os.path.join(state_dir, f"v{ver}")
-    docs.write.mode("overwrite").parquet(os.path.join(base, "docs"))
-    posting.write.mode("overwrite").parquet(os.path.join(base, "posting"))
-    stats.write.mode("overwrite").parquet(os.path.join(base, "stats"))
-    assign.write.mode("overwrite").parquet(os.path.join(base, "assign"))
-    with open(os.path.join(base, "params.json"), "w") as fh:
-        json.dump(params, fh)
-    # VERSION last: a killed state write is invisible, the previous
-    # version stays current
-    with open(os.path.join(state_dir, "VERSION"), "w") as fh:
-        fh.write(str(ver))
+def _write_version(state_dir, ver, base):
+    tmp = os.path.join(state_dir, "VERSION.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(f"{ver} {base}" if base > 1 else str(ver))
+    os.replace(tmp, os.path.join(state_dir, "VERSION"))
+
+
+def _write_state_delta(state_dir, ver, docs, posting_raw, stats, assign,
+                       params, base=1):
+    for name, df in (
+        ("docs", docs),
+        ("posting_raw", posting_raw),
+        ("stats", stats),
+        ("assign", assign),
+    ):
+        df.write.mode("overwrite").parquet(
+            os.path.join(state_dir, name, f"ver={ver}")
+        )
+    pf = os.path.join(state_dir, "params.json")
+    if not os.path.exists(pf):
+        with open(pf, "w") as fh:
+            json.dump(params, fh)
+    _write_version(state_dir, ver, base)
+
+
+def _read_state(spark, state_dir, ver, base=1):
+    """(params, docs, posting, stats, assign) reconstructed from the
+    live deltas: posting = raw union filtered to total df <= cap (equal
+    to chaining update_blocking_index, which re-filters the union on the
+    updated df); stats = per-key df sums; assign = latest version wins
+    per id."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    with open(os.path.join(state_dir, "params.json")) as fh:
+        params = json.load(fh)
+
+    def deltas(name):
+        return spark.read.parquet(os.path.join(state_dir, name)).filter(
+            (F.col("ver") <= ver) & (F.col("ver") >= base)
+        )
+
+    docs = deltas("docs").drop("ver")
+    raw = deltas("posting_raw").drop("ver")
+    stats = deltas("stats").groupBy("k").agg(F.sum("df").alias("df"))
+    posting = raw.join(
+        stats.filter(F.col("df") <= int(params["df_cap"])).select("k"), "k"
+    ).select("k", "id")
+    w = Window.partitionBy("id").orderBy(F.col("ver").desc())
+    assign = (
+        deltas("assign")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_rn", "ver")
+    )
+    return params, docs, posting, stats, assign
 
 
 def _load_docs(args, spark, need_gold):
@@ -168,22 +238,61 @@ def _load_docs(args, spark, need_gold):
     return docs.withColumn("content_sha", F.sha2("text", 256)), gold
 
 
+def _run_compact(args, spark):
+    """Fold every live state delta into one ver=N+1 snapshot and advance
+    the read base (same crash-safety argument as run_curation.py: the
+    snapshot lands first, then one atomic VERSION rename flips
+    version+base together). posting_raw is stored still-uncapped in the
+    snapshot so later deltas keep reconstructing the cap correctly."""
+    ver, vbase = _state_version(args.state_dir)
+    if ver < 1:
+        raise SystemExit("--compact-state requires an existing state")
+    params, docs, posting, stats, assign = _read_state(
+        spark, args.state_dir, ver, vbase
+    )
+    # re-read the RAW postings (the capped reconstruction must not be
+    # snapshotted — a key under cap today may cross it later)
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.parquet(os.path.join(args.state_dir, "posting_raw"))
+        .filter((F.col("ver") <= ver) & (F.col("ver") >= vbase))
+        .drop("ver")
+    )
+    ver2 = ver + 1
+    for name, df in (
+        ("docs", docs),
+        ("posting_raw", raw),
+        ("stats", stats),
+        ("assign", assign),
+    ):
+        df.write.mode("overwrite").parquet(
+            os.path.join(args.state_dir, name, f"ver={ver2}")
+        )
+    _write_version(args.state_dir, ver2, ver2)
+    report = {
+        "mode": "compact",
+        "state_version": ver2,
+        "base": ver2,
+        "folded_versions": ver - vbase + 1,
+        "docs": docs.count(),
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def _run_increment(args, spark):
     from pyspark.sql import functions as F
 
     from kiez_spark.operators import clustering as C
     from kiez_spark.operators import er as ER
 
-    ver = _state_version(args.state_dir)
+    ver, vbase = _state_version(args.state_dir)
     if ver < 1:
         raise SystemExit("--increment requires a base run's --state-dir state")
-    base = os.path.join(args.state_dir, f"v{ver}")
-    with open(os.path.join(base, "params.json")) as fh:
-        params = json.load(fh)
-    corpus_docs = spark.read.parquet(os.path.join(base, "docs"))
-    posting = spark.read.parquet(os.path.join(base, "posting"))
-    stats = spark.read.parquet(os.path.join(base, "stats"))
-    assign = spark.read.parquet(os.path.join(base, "assign"))
+    params, corpus_docs, posting, stats, assign = _read_state(
+        spark, args.state_dir, ver, vbase
+    )
 
     batch, _ = _load_docs(args, spark, need_gold=False)
     report = {"mode": "increment", "base_version": ver,
@@ -205,10 +314,11 @@ def _run_increment(args, spark):
     )
     report["matched_pairs"] = matched.count()
 
-    merged = C.merge_components(
+    merged, changed = C.merge_components_with_delta(
         assign.select("id", "component"), matched,
         batch_nodes=batch.select("doc_id"),
-    ).localCheckpoint()
+    )
+    merged = merged.localCheckpoint()
     decisions = _survivors(merged)
     report["clusters"] = merged.select("component").distinct().count()
     report["survivors"] = decisions.filter("is_survivor").count()
@@ -229,11 +339,13 @@ def _run_increment(args, spark):
         .count()
     )
 
-    posting2, stats2 = ER.update_blocking_index(
-        posting, stats, batch, _keys_expr(), df_cap=params["df_cap"]
-    )
-    _write_state(
-        args.state_dir, ver + 1, docs_all, posting2, stats2, merged, params
+    # delta state write: O(batch) rows, never the corpus — the capped
+    # posting table is reconstructed at read from (raw union, summed df)
+    batch_raw = ER.blocking_postings_raw(batch, _keys_expr())
+    batch_stats = batch_raw.groupBy("k").agg(F.count("*").alias("df"))
+    _write_state_delta(
+        args.state_dir, ver + 1, batch, batch_raw, batch_stats,
+        changed, params, base=vbase,
     )
     report["new_version"] = ver + 1
     decisions.write.mode("overwrite").parquet(args.output)
@@ -246,12 +358,17 @@ def main(argv=None) -> int:
     ap.add_argument("--input", help="parquet path of docs(doc_id, text)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic files instead of --input")
-    ap.add_argument("--output", required=True)
+    ap.add_argument("--output",
+                    help="decision parquet dir (required except with "
+                         "--compact-state)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--state-dir", default=None,
                     help="persist index/params/assignments for increments")
     ap.add_argument("--increment", action="store_true",
                     help="link a new batch against the --state-dir state")
+    ap.add_argument("--compact-state", action="store_true",
+                    help="fold all live state deltas into one snapshot "
+                         "version and advance the read base")
     ap.add_argument("--df-cap", type=int, default=64)
     ap.add_argument("--min-cbs", type=int, default=5)
     ap.add_argument("--top-n", type=int, default=10,
@@ -263,6 +380,8 @@ def main(argv=None) -> int:
     ap.add_argument("--u-offsets", type=int, default=3,
                     help="random-pair offsets per row for u estimation")
     args = ap.parse_args(argv)
+    if not args.compact_state and not args.output:
+        ap.error("--output is required")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -278,6 +397,10 @@ def main(argv=None) -> int:
         if not args.state_dir:
             ap.error("--increment requires --state-dir")
         return _run_increment(args, spark)
+    if args.compact_state:
+        if not args.state_dir:
+            ap.error("--compact-state requires --state-dir")
+        return _run_compact(args, spark)
 
     docs, gold = _load_docs(args, spark, need_gold=args.evaluate_gold)
 
@@ -392,9 +515,8 @@ def main(argv=None) -> int:
     decisions.write.mode("overwrite").parquet(args.output)
 
     if args.state_dir:
-        posting, stats = ER.build_blocking_index(
-            docs, _keys_expr(), df_cap=args.df_cap
-        )
+        raw = ER.blocking_postings_raw(docs, _keys_expr())
+        raw_stats = raw.groupBy("k").agg(F.count("*").alias("df"))
         state_params = {
             "fields": kept,
             "m": params["m"],
@@ -405,8 +527,8 @@ def main(argv=None) -> int:
             "min_cbs": args.min_cbs,
             "lev_bound": args.lev_bound,
         }
-        _write_state(
-            args.state_dir, 1, docs, posting, stats,
+        _write_state_delta(
+            args.state_dir, 1, docs, raw, raw_stats,
             decisions.select("id", "component"), state_params,
         )
         report["state_version"] = 1

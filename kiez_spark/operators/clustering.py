@@ -118,11 +118,29 @@ def merge_components(
     pair_cols: tuple[str, str] = ("a_id", "b_id"),
     max_iter: int = 25,
 ) -> DataFrame:
-    """Updated (id, component) after adding ``new_edges`` to an already
-    clustered corpus — the incremental-linkage closer: components NOT
-    incident to any new edge pass through byte-identical; incident ones
-    are re-clustered together with the new edges (and ``batch_nodes``
-    newcomers, who get singleton components unless an edge claims them).
+    """``merge_components_with_delta`` returning just the full table —
+    see there for semantics."""
+    full, _ = merge_components_with_delta(
+        assignments, new_edges, batch_nodes, pair_cols, max_iter
+    )
+    return full
+
+
+def merge_components_with_delta(
+    assignments: DataFrame,
+    new_edges: DataFrame,
+    batch_nodes: DataFrame | None = None,
+    pair_cols: tuple[str, str] = ("a_id", "b_id"),
+    max_iter: int = 25,
+) -> tuple[DataFrame, DataFrame]:
+    """(full, changed) assignments after adding ``new_edges`` to an
+    already clustered corpus — the incremental-linkage closer:
+    components NOT incident to any new edge pass through byte-identical
+    into ``full`` only; incident ones are re-clustered together with the
+    new edges (and ``batch_nodes`` newcomers, who get singleton
+    components unless an edge claims them) and appear in BOTH frames.
+    ``changed`` is the O(touched + batch) delta a latest-wins
+    state store persists instead of rewriting the corpus table.
 
     Exactness: in a min-id labeling each (id, component) row is itself
     an edge that reconstructs its component, so running CC over
@@ -176,13 +194,15 @@ def merge_components(
                 F.col(batch_nodes.columns[0]).cast("bigint").alias("id")
             )
         )
-    re_assign = connected_components(
+    # eager: CHANGED rows feed both the returned full table and the
+    # delta consumer (a delta-persisted state write) — materialize once
+    # so the star rounds never re-run; bounded by touched + batch
+    changed = connected_components(
         sub_edges, nodes=nodes.distinct(), pair_cols=("u", "v"),
         max_iter=max_iter,
-    )
-    return untouched.select("id", "component").unionByName(
-        re_assign.select("id", "component")
-    )
+    ).select("id", "component").localCheckpoint()
+    full = untouched.select("id", "component").unionByName(changed)
+    return full, changed
 
 
 def survivor_decisions(

@@ -667,6 +667,20 @@ def blocking_quality(
 # ------------------------------------------------------- incremental ER
 
 
+def blocking_postings_raw(
+    df: DataFrame, keys: F.Column, id_col: str = "doc_id"
+) -> DataFrame:
+    """UNCAPPED distinct (k, id) postings of one document set — the
+    append-only unit of a delta-persisted blocking index: store each
+    corpus version's raw postings plus its per-key df contribution, and
+    the CAPPED posting table any version needs is reconstructed by
+    filtering the union on the SUMMED df (cap membership depends only
+    on the total frequency, never on the order deltas arrived)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
+    ).distinct()
+
+
 def build_blocking_index(
     df: DataFrame,
     keys: F.Column,
@@ -685,9 +699,7 @@ def build_blocking_index(
     key already over cap stays excluded (df only grows). One shuffle of
     (k, id) + one of (k, df) — the per-corpus-version index build cost.
     """
-    posting = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
-    ).distinct()
+    posting = blocking_postings_raw(df, keys, id_col)
     stats = posting.groupBy("k").agg(F.count("*").alias("df"))
     capped = posting.join(
         stats.filter(F.col("df") <= int(df_cap)).select("k"), "k"

@@ -105,10 +105,16 @@ def test_er_job_increment_chain(spark, tmp_path):
     assert r1["clusters"] == 360 and r1["new_version"] == 2
     assert r1["sha_violations"] == 0
 
+    # compact between increments: folds v1+v2 deltas into a v3 snapshot
+    # and advances the read base — increment 2 must behave identically
+    rc = run(["--compact-state", "--state-dir", state])
+    assert rc == {"mode": "compact", "state_version": 3, "base": 3,
+                  "folded_versions": 2, "docs": 700}
+
     r2 = run(["--increment", "--input", b2_p,
               "--output", str(tmp_path / "o2"), "--state-dir", state])
     # 20 cluster-joiners + 80 brand-new singletons
-    assert r2["clusters"] == 440 and r2["new_version"] == 3
+    assert r2["clusters"] == 440 and r2["new_version"] == 4
     assert r2["sha_violations"] == 0
 
     # the final decisions equal the PLANTED clustering exactly
