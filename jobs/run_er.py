@@ -219,7 +219,7 @@ def _read_state(spark, state_dir, ver, base=1):
 def _load_docs(args, spark, need_gold):
     from pyspark.sql import functions as F
 
-    gold = None
+    gold = gold_assign = None
     if args.synthetic:
         from kiez_spark import synth
 
@@ -229,13 +229,14 @@ def _load_docs(args, spark, need_gold):
         )
         if need_gold:
             gold = synth.gold_pairs(files)
+            gold_assign = synth.gold_clusters(files)
     elif args.input:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
     else:
         raise SystemExit("one of --input / --synthetic is required")
     # the per-row invariant the north rule demands carried through every
     # stage: sha256(content) at ingest, re-checked after clustering
-    return docs.withColumn("content_sha", F.sha2("text", 256)), gold
+    return docs.withColumn("content_sha", F.sha2("text", 256)), gold, gold_assign
 
 
 def _run_compact(args, spark):
@@ -294,7 +295,7 @@ def _run_increment(args, spark):
         spark, args.state_dir, ver, vbase
     )
 
-    batch, _ = _load_docs(args, spark, need_gold=False)
+    batch, _, _ = _load_docs(args, spark, need_gold=False)
     report = {"mode": "increment", "base_version": ver,
               "batch_docs": batch.count()}
 
@@ -402,7 +403,9 @@ def main(argv=None) -> int:
             ap.error("--compact-state requires --state-dir")
         return _run_compact(args, spark)
 
-    docs, gold = _load_docs(args, spark, need_gold=args.evaluate_gold)
+    docs, gold, gold_assign = _load_docs(
+        args, spark, need_gold=args.evaluate_gold
+    )
 
     ckpt = (
         StageCheckpointer(spark, args.checkpoint_dir)
@@ -510,6 +513,16 @@ def main(argv=None) -> int:
             "precision": round(f1_row.precision, 6),
             "recall": round(f1_row.recall, 6),
             "f1": round(f1_row.f1, 6),
+        }
+        # record-averaged complement: pairwise over-weights big clusters
+        # quadratically, B-cubed weights every record once
+        b3 = EV.bcubed(
+            decisions.select("id", "component"), gold_assign
+        ).collect()[0]
+        report["bcubed"] = {
+            "precision": round(b3.b3_precision, 6),
+            "recall": round(b3.b3_recall, 6),
+            "f1": round(b3.b3_f1, 6),
         }
 
     decisions.write.mode("overwrite").parquet(args.output)

@@ -38,6 +38,7 @@ def test_er_job_f1_sha_and_resume(spark, tmp_path):
     assert report["input_docs"] == n
     assert report["sha_violations"] == 0
     assert report["pairwise"]["f1"] >= 0.99  # the north-rule bar
+    assert report["bcubed"]["f1"] >= 0.99    # record-averaged complement
     # every cluster elects exactly one survivor, and the cluster count
     # must equal the planted entity count (dup clusters + singletons)
     files = synth.repos_files(spark, n=n)
