@@ -332,6 +332,39 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def q_knn_correlation(spark, sf_dir):
+    """Correlation distance (scipy: cosine over row-centered vectors)
+    through the pandas kernel — the kernel centers the rows once and
+    inherits the cosine folded-sign GEMM tier
+    (sklearn_nearest_neighbors.py:51-101 accepts it by name). Both
+    engines center in f64 then take 1 - cosine_similarity; the 6-dp
+    convention absorbs the mean/dot summation-order ulps exactly as it
+    does for the green knn_exact_cosine row."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(emb, emb, TOP_K, "correlation", exclude_self=True)
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_CORRELATION = f"""
+WITH {_V_SQL},
+vm AS (SELECT id, vec, list_avg(vec) AS mu FROM v),
+vc AS (SELECT id, list_transform(vec, x -> x - mu) AS vec FROM vm),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         1.0 - list_cosine_similarity(a.vec, b.vec) AS d
+  FROM vc a, vc b WHERE a.id <> b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_knn_braycurtis(spark, sf_dir):
     """Bray-Curtis (sum|a-b| / sum|a+b|, scipy convention) through the
     pandas kernel — with canberra this completes the numeric metric tail
@@ -3136,6 +3169,7 @@ QUERIES = {
     "knn_exact_chebyshev": (q_knn_chebyshev, SQL_KNN_CHEBYSHEV),
     "knn_exact_canberra": (q_knn_canberra, SQL_KNN_CANBERRA),
     "knn_exact_braycurtis": (q_knn_braycurtis, SQL_KNN_BRAYCURTIS),
+    "knn_exact_correlation": (q_knn_correlation, SQL_KNN_CORRELATION),
     "er_bcubed": (q_er_bcubed, SQL_ER_BCUBED),
     "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),

@@ -93,6 +93,31 @@ def canberra(a: Column, b: Column) -> Column:
     )
 
 
+def correlation(a: Column, b: Column) -> Column:
+    """Correlation distance = cosine distance over row-centered vectors
+    (scipy's definition; the reference's sklearn exact tier accepts it
+    by name, sklearn_nearest_neighbors.py:51-101), in the ALGEBRAIC form
+    cov(a,b)/sqrt(var(a)var(b)) built from five flat O(d) aggregates.
+    Do NOT write this as cosine(transform(a, x -> x - aggregate(a,...)))
+    — referencing the mean aggregate inside the per-element lambda
+    duplicates it d times, a 4096-node expression tree at d=64 whose
+    codegen takes minutes (measured: a pipeline-level hang). Zero-
+    variance rows take the zero-norm cosine convention (distance 1.0 —
+    scipy yields nan there; a defined max-distance for no-information
+    rows is the engine-wide convention, identical in every tier and in
+    the DuckDB oracle)."""
+    d = F.size(a).cast("double")
+    sa = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
+    sb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x)
+    cov = dot(a, b) - sa * sb / d
+    va = dot(a, a) - sa * sa / d
+    vb = dot(b, b) - sb * sb / d
+    denom = F.sqrt(F.greatest(va, F.lit(0.0)) * F.greatest(vb, F.lit(0.0)))
+    return F.when(denom == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - cov / denom
+    )
+
+
 def braycurtis(a: Column, b: Column) -> Column:
     """Bray-Curtis dissimilarity: sum_i |a_i - b_i| / sum_i |a_i + b_i|
     (scipy's convention; the reference's sklearn exact tier accepts it by
@@ -162,6 +187,8 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return canberra(a, b)
     if metric == "braycurtis":
         return braycurtis(a, b)
+    if metric == "correlation":
+        return correlation(a, b)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

@@ -179,10 +179,21 @@ def _is_braycurtis(metric: str) -> bool:
     return metric == "braycurtis"
 
 
+def _center_rows(m: np.ndarray) -> np.ndarray:
+    """Row-center (correlation = cosine over centered rows, scipy's
+    definition): rewriting the INPUT once lets every tier inherit the
+    cosine fast path — folded-sign GEMM, f32 selection, norm handling —
+    with zero per-metric kernel code. Zero-variance rows become zero
+    vectors and take the zero-norm cosine convention (distance 1.0)."""
+    return m - m.mean(axis=1, keepdims=True)
+
+
 def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     """Batched distance kernel, float64 BLAS (element-wise dim loop for
     the non-GEMM minkowski family — the reference's sklearn backend takes
     any p, sklearn_nearest_neighbors.py:51-101)."""
+    if metric == "correlation":
+        return _dist_matrix(_center_rows(qm), _center_rows(xm), "cosine")
     p = _metric_p(metric)
     if p is not None:
         ham = _is_hamming(metric)
@@ -245,6 +256,8 @@ def _topk_block(
     cushion makes an f32-rounding-induced selection miss require ~16
     pairs inside f32 noise of the k-th distance — vanishing for real
     data; parity tests confirm exactness."""
+    if metric == "correlation":
+        qm, xm, metric = _center_rows(qm), _center_rows(xm), "cosine"
     n = xm.shape[0]
     kk = min(k, n)
     is_cos = metric in ("cosine", "cos")
@@ -365,6 +378,12 @@ class _BruteKnnKernel:
 
     def __init__(self, x_ids, xm, k, metric, exclude_self, cushion=16,
                  target_bytes=16e6):
+        self.center = metric == "correlation"
+        if self.center:
+            # correlation = cosine over row-centered vectors; center the
+            # index once here, queries per chunk (see query_chunk)
+            xm = _center_rows(xm)
+            metric = "cosine"
         self.x_ids = x_ids
         self.k = k
         self.metric = metric
@@ -459,6 +478,8 @@ class _BruteKnnKernel:
         pooled candidates are a provable superset of the true top-sel
         per row — the f32 pre-cut below recovers exactly the global
         sel-th before the f64 rerank."""
+        if self.center:
+            qm = _center_rows(qm)
         n = self.x32.shape[0]
         m = len(q_ids)
         kk = min(self.k, n)

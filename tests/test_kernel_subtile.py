@@ -54,6 +54,7 @@ METRICS = [
     "chebyshev",
     "canberra",
     "braycurtis",
+    "correlation",
 ]
 
 

@@ -32,7 +32,8 @@ def _collect_nn(df):
 
 @pytest.mark.parametrize(
     "metric",
-    ["manhattan", "minkowski_3", "chebyshev", "canberra", "braycurtis"],
+    ["manhattan", "minkowski_3", "chebyshev", "canberra", "braycurtis",
+     "correlation"],
 )
 def test_pandas_tier_elementwise_metric_matches_expr(
     spark, source_df, target_df, metric
