@@ -145,3 +145,42 @@ def test_update_blocking_index_cap_crossing(spark):
     assert df_by_key == {7: 4, 8: 1, 9: 2}
     got = {(r.k, r.id) for r in posting2.collect()}
     assert got == {(9, 1), (9, 11), (8, 12)}
+
+
+def test_raw_delta_reconstruction_equals_full_build(spark):
+    """The delta state store keeps UNCAPPED raw postings + per-version
+    df contributions (jobs/run_er.py); reconstructing the capped posting
+    table by filtering the raw union on the SUMMED df must equal a
+    from-scratch build_blocking_index over the combined corpus — cap
+    membership depends only on total frequency."""
+    a = spark.createDataFrame(
+        [(1, [7, 9]), (2, [7])], "doc_id bigint, ks array<bigint>"
+    )
+    b = spark.createDataFrame(
+        [(11, [7, 9]), (12, [7, 8])], "doc_id bigint, ks array<bigint>"
+    )
+    cap = 3
+    # delta writes: raw postings + df contribution per version
+    raw_a = ER.blocking_postings_raw(a, F.col("ks"))
+    raw_b = ER.blocking_postings_raw(b, F.col("ks"))
+    stats_a = raw_a.groupBy("k").agg(F.count("*").alias("df"))
+    stats_b = raw_b.groupBy("k").agg(F.count("*").alias("df"))
+    # read-side reconstruction
+    raw = raw_a.unionByName(raw_b)
+    stats = (
+        stats_a.unionByName(stats_b)
+        .groupBy("k").agg(F.sum("df").alias("df"))
+    )
+    posting = raw.join(
+        stats.filter(F.col("df") <= cap).select("k"), "k"
+    ).select("k", "id")
+    # from-scratch truth over the union
+    full_posting, full_stats = ER.build_blocking_index(
+        a.unionByName(b), F.col("ks"), df_cap=cap
+    )
+    assert {(r.k, r.id) for r in posting.collect()} == {
+        (r.k, r.id) for r in full_posting.collect()
+    }
+    assert {(r.k, r.df) for r in stats.collect()} == {
+        (r.k, r.df) for r in full_stats.collect()
+    }
