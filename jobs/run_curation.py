@@ -298,11 +298,17 @@ def _curate_increment(spark, docs, state_dir, output_dir):
     # within-batch clustering over the WHOLE exact-deduped batch, then
     # component-level corpus drop (see docstring: this — not per-doc
     # dropping — is what makes the count equal a full union re-run)
+    # shingle_n/seed passed EXPLICITLY from the frozen state params (not
+    # relying on dedup.py's defaults matching _SHINGLE_N/_MINHASH_SEED):
+    # within-batch pairing must use the identical signature space as the
+    # persisted corpus index or increments silently diverge
     pairs = D.minhash_lsh_pairs(
         txt,
         n_hashes=params["n_hashes"],
         bands=params["bands"],
+        shingle_n=params["shingle_n"],
         threshold=params["jaccard_threshold"],
+        seed=params["seed"],
     ).select("src_id", "tgt_id")
     assign = C.connected_components(
         pairs, nodes=exact.select("doc_id"), pair_cols=("src_id", "tgt_id")
@@ -648,9 +654,12 @@ def main(argv=None) -> int:
         txt = exact.select("doc_id", F.col("clean_text").alias("text"))
         # 32 hashes x 8 bands: ~0.997 banding recall per near-pair at
         # jaccard ~0.85 (one-token edits), so clusters stay connected
+        # explicit shingle_n/seed: the base run must pair in the same
+        # signature space the state params freeze (see _curate_increment)
         pairs = D.minhash_lsh_pairs(
             txt, n_hashes=args.n_hashes, bands=args.bands,
-            threshold=args.jaccard_threshold,
+            shingle_n=_SHINGLE_N, threshold=args.jaccard_threshold,
+            seed=_MINHASH_SEED,
         ).select("src_id", "tgt_id")
         assign = C.connected_components(
             pairs, nodes=exact.select("doc_id"), pair_cols=("src_id", "tgt_id")

@@ -2780,9 +2780,11 @@ WHERE jaro_winkler_similarity(a.key, b.key) >= 0.8
 
 
 def _packed_key_sql(key: str) -> str:
-    """SQL twin of operators/er._packed_key_expr (7-char packed ASCII)."""
+    """SQL twin of operators/er._packed_key_expr (7-char packed ASCII,
+    per-char least(ascii, 127) clamp — keeps the radix-128 packing sound
+    on non-ASCII codepoints, matching the Spark side exactly)."""
     terms = " + ".join(
-        f"ascii(substr(rpad({key}, 7, ' '), {i}, 1))::BIGINT"
+        f"least(ascii(substr(rpad({key}, 7, ' '), {i}, 1)), 127)::BIGINT"
         f" * {128 ** (7 - i)}"
         for i in range(1, 8)
     )

@@ -105,7 +105,16 @@ def correlation(a: Column, b: Column) -> Column:
     variance rows take the zero-norm cosine convention (distance 1.0 —
     scipy yields nan there; a defined max-distance for no-information
     rows is the engine-wide convention, identical in every tier and in
-    the DuckDB oracle)."""
+    the DuckDB oracle).
+
+    Accuracy limitation of the algebraic form: when vectors carry a large
+    common offset (|mean| >> spread) the cov/var subtractions cancel
+    catastrophically, so this expr tier can disagree with the
+    row-centered pandas/blocked kernels beyond the usual 1e-9 parity on
+    such data (roughly |mean|/spread > 1e6). The ratio is clamped into
+    [-1, 1] below so even degenerate inputs stay in the valid distance
+    range [0, 2]; offset-heavy corpora should center the vectors upstream
+    or use the pandas/blocked tiers (which center rows exactly)."""
     d = F.size(a).cast("double")
     sa = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x)
     sb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x)
@@ -113,9 +122,8 @@ def correlation(a: Column, b: Column) -> Column:
     va = dot(a, a) - sa * sa / d
     vb = dot(b, b) - sb * sb / d
     denom = F.sqrt(F.greatest(va, F.lit(0.0)) * F.greatest(vb, F.lit(0.0)))
-    return F.when(denom == 0.0, F.lit(1.0)).otherwise(
-        F.lit(1.0) - cov / denom
-    )
+    r = F.greatest(F.lit(-1.0), F.least(F.lit(1.0), cov / denom))
+    return F.when(denom == 0.0, F.lit(1.0)).otherwise(F.lit(1.0) - r)
 
 
 def braycurtis(a: Column, b: Column) -> Column:

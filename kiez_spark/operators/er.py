@@ -222,15 +222,25 @@ def jaro_winkler_pairs(
 
 def _packed_key_expr(key: str) -> F.Column:
     """7-char packed-ASCII sort surrogate of SQL expression ``key``:
-    sum(ascii(char_i) * 128^(7-i)) over the space-right-padded first 7
-    chars. Order-equivalent to the string prefix for ASCII input, fits
-    in 2^53 (128^7 = 5.6e14) so dense_row_number's bucketing double cast
-    is exact."""
+    sum(min(ascii(char_i), 127) * 128^(7-i)) over the space-right-padded
+    first 7 chars. Order-equivalent to the string prefix for ASCII
+    input, fits in 2^53 (128^7 = 5.6e14) so dense_row_number's bucketing
+    double cast is exact.
+
+    Non-ASCII guard: Spark's ascii() returns the full Unicode codepoint,
+    so an unclamped high codepoint in a LATER position would outweigh an
+    earlier-position difference and the packed order would silently
+    deviate from lexical order. Each term is clamped to 127 (keeping the
+    radix sound); all codepoints > 126 therefore collapse into one
+    order-slot per position — exact lexical order is guaranteed for
+    ASCII keys only, and callers with non-ASCII keys should normalize
+    upstream. The SQL twin (driver_queries._packed_key_sql) applies the
+    identical least(ascii(..), 127)."""
     padded = F.rpad(F.expr(key), 7, " ")
     col = F.lit(0).cast("bigint")
     for i in range(1, 8):
         col = col + (
-            F.ascii(F.substring(padded, i, 1)).cast("bigint")
+            F.least(F.ascii(F.substring(padded, i, 1)), F.lit(127)).cast("bigint")
             * F.lit(128 ** (7 - i)).cast("bigint")
         )
     return col
@@ -635,32 +645,41 @@ def blocking_quality(
     """One-row blocking audit: candidate count, gold count, recovered
     count, pair-completeness and reduction-ratio in exact micro units.
 
-    cand/gold carry (a_id, b_id) with a_id < b_id. All outputs are
-    BIGINT (ratios via integer 1e6-scaled DIV) — hash-exact across
-    engines, immune to the rounded-double boundary. The intersection is
-    an equi-join on the pair key; at scale both sides are already
-    bounded pair sets (never all-pairs).
+    cand/gold carry (a_id, b_id) with a_id < b_id (each side distinct
+    pairs). All outputs are BIGINT (ratios via integer 1e6-scaled DIV) —
+    hash-exact across engines, immune to the rounded-double boundary.
+
+    SINGLE-PASS and fully lazy: one full-outer join on the pair key +
+    one aggregation counts both sides and the intersection together
+    (the previous form ran three separate count jobs, each
+    re-traversing the candidate plan — 3x the scan cost on a 100 TB
+    candidate set). At scale both sides are already bounded pair sets
+    (never all-pairs).
     """
-    c = cand.select("a_id", "b_id")
-    g = gold.select("a_id", "b_id")
-    found = c.join(g, ["a_id", "b_id"]).count()
-    n_cand = c.count()
-    n_gold = g.count()
-    total = n_records * (n_records - 1) // 2
-    row = [
+    c = cand.select("a_id", "b_id").withColumn("_c", F.lit(1))
+    g = gold.select("a_id", "b_id").withColumn("_g", F.lit(1))
+    j = c.join(g, ["a_id", "b_id"], "full_outer")
+    agg = j.agg(
+        F.count("_c").cast("bigint").alias("n_candidates"),
+        F.count("_g").cast("bigint").alias("n_gold"),
+        F.count(F.when(F.col("_c").isNotNull() & F.col("_g").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_found"),
+    )
+    total = int(n_records) * (int(n_records) - 1) // 2
+    return agg.select(
+        "n_candidates",
+        "n_gold",
+        "n_found",
+        F.when(
+            F.col("n_gold") > 0,
+            F.expr("(1000000 * n_found) div n_gold"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("pair_completeness_micro"),
         (
-            int(n_cand),
-            int(n_gold),
-            int(found),
-            int(1000000 * found // n_gold) if n_gold else 0,
-            int(1000000 * (total - n_cand) // total) if total else 0,
-        )
-    ]
-    spark = cand.sparkSession
-    return spark.createDataFrame(
-        row,
-        "n_candidates bigint, n_gold bigint, n_found bigint,"
-        " pair_completeness_micro bigint, reduction_ratio_micro bigint",
+            F.expr(f"(1000000 * ({total} - n_candidates)) div {total}")
+            if total
+            else F.lit(0)
+        ).cast("bigint").alias("reduction_ratio_micro"),
     )
 
 

@@ -25,26 +25,54 @@ def hits_at_k(
     (k, hits, n_hits, n_gold) — the ratio plus its exact integer
     numerator/denominator, so consumers that must hash identically
     across engines can use integer arithmetic instead of rounding the
-    double ratio (a 1-ulp cross-engine hazard on boundary corpora)."""
-    n_gold = gold.count()
-    matched = nn_df.join(
-        gold,
-        (nn_df["query_id"] == gold["src_id"]) & (nn_df["cand_id"] == gold["tgt_id"]),
-    ).select("src_id", "rank")
-    per_src = matched.groupBy("src_id").agg(F.min("rank").alias("best_rank"))
-    rows = []
-    spark = nn_df.sparkSession
+    double ratio (a 1-ulp cross-engine hazard on boundary corpora).
+
+    SINGLE-PASS and fully lazy: gold LEFT-joins onto the neighbor table,
+    per-src best rank and the per-k conditional sums fold into ONE
+    aggregation (n_gold rides along as count(*)) — no separate
+    gold.count() job, no driver-side .first(); the caller's one action
+    computes everything. An empty gold set yields zero rows per k with
+    hits = 0.0 (the previous eager form raised ZeroDivisionError)."""
+    j = gold.select("src_id", "tgt_id").join(
+        nn_df.select("query_id", "cand_id", "rank"),
+        (F.col("src_id") == F.col("query_id"))
+        & (F.col("tgt_id") == F.col("cand_id")),
+        "left",
+    )
+    per_src = j.groupBy("src_id").agg(F.min("rank").alias("best_rank"))
+    sorted_ks = sorted(ks)
     agg = per_src.agg(
+        F.count(F.lit(1)).alias("n_gold"),
         *[
-            F.sum(F.when(F.col("best_rank") <= kk, 1).otherwise(0)).alias(f"h{kk}")
-            for kk in sorted(ks)
-        ]
-    ).first()
-    for kk in sorted(ks):
-        h = int(agg[f"h{kk}"] or 0)
-        rows.append((kk, h / n_gold, h, n_gold))
-    return spark.createDataFrame(
-        rows, "k int, hits double, n_hits bigint, n_gold bigint"
+            F.sum(
+                F.when(F.col("best_rank") <= kk, 1).otherwise(0)
+            ).cast("bigint").alias(f"h{kk}")
+            for kk in sorted_ks
+        ],
+    )
+    per_k = agg.select(
+        "n_gold",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(kk).cast("int").alias("k"),
+                        F.coalesce(F.col(f"h{kk}"), F.lit(0))
+                        .cast("bigint")
+                        .alias("n_hits"),
+                    )
+                    for kk in sorted_ks
+                ]
+            )
+        ).alias("s"),
+    )
+    return per_k.select(
+        F.col("s.k").alias("k"),
+        F.when(
+            F.col("n_gold") > 0, F.col("s.n_hits") / F.col("n_gold")
+        ).otherwise(F.lit(0.0)).alias("hits"),
+        F.col("s.n_hits").alias("n_hits"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
     )
 
 
@@ -66,21 +94,44 @@ def pairwise_f1(
     pred_cols: tuple[str, str] = ("src_id", "tgt_id"),
     gold_cols: tuple[str, str] = ("src_id", "tgt_id"),
 ) -> DataFrame:
-    """One-row DataFrame (tp, fp, fn, precision, recall, f1)."""
-    pred = _canon_pairs(pred_pairs, *pred_cols)
-    gold = _canon_pairs(gold_pairs, *gold_cols)
-    tp = pred.join(gold, ["u", "v"], "inner").count()
-    n_pred = pred.count()
-    n_gold = gold.count()
-    fp = n_pred - tp
-    fn = n_gold - tp
-    precision = tp / n_pred if n_pred else 0.0
-    recall = tp / n_gold if n_gold else 0.0
-    f1 = 2 * precision * recall / (precision + recall) if (precision + recall) else 0.0
-    spark = pred_pairs.sparkSession
-    return spark.createDataFrame(
-        [(tp, fp, fn, precision, recall, f1)],
-        "tp bigint, fp bigint, fn bigint, precision double, recall double, f1 double",
+    """One-row DataFrame (tp, fp, fn, precision, recall, f1).
+
+    SINGLE-PASS and fully lazy: one full-outer join on the canonical
+    pair key, then one aggregation counts both sides and the
+    intersection together — the previous form ran THREE count jobs,
+    each re-traversing the (possibly huge) candidate plan. At 100 TB
+    the pair sets are the expensive operand; one traversal is the
+    floor. Empty sides degrade to 0.0 metrics exactly as before."""
+    pred = _canon_pairs(pred_pairs, *pred_cols).withColumn("_p", F.lit(1))
+    gold = _canon_pairs(gold_pairs, *gold_cols).withColumn("_g", F.lit(1))
+    j = pred.join(gold, ["u", "v"], "full_outer")
+    agg = j.agg(
+        F.count("_p").cast("bigint").alias("n_pred"),
+        F.count("_g").cast("bigint").alias("n_gold"),
+        F.count(F.when(F.col("_p").isNotNull() & F.col("_g").isNotNull(), 1))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")
+    ).otherwise(F.lit(0.0))
+    with_pr = agg.select(
+        "tp",
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_gold") - F.col("tp")).cast("bigint").alias("fn"),
+        prec.alias("precision"),
+        rec.alias("recall"),
+    )
+    return with_pr.withColumn(
+        "f1",
+        F.when(
+            F.col("precision") + F.col("recall") > 0,
+            2.0 * F.col("precision") * F.col("recall")
+            / (F.col("precision") + F.col("recall")),
+        ).otherwise(F.lit(0.0)),
     )
 
 

@@ -835,6 +835,16 @@ def knn_join_pandas(
     fan-out, neighbor_algorithm_base.py:139-166, becomes partitioning) —
     an under-partitioned source (one parquet file) is repartitioned up to
     the cluster's parallelism so every core gets work.
+
+    PRECONDITION (metric='hamming'): inputs must be quantized — every
+    element integer-valued (or otherwise exactly representable in
+    float32). The f32 selection pass binarizes sign(|q32 - x32|); on
+    values that are equal in f32 but unequal in f64 (or vice versa) the
+    f32 mismatch COUNTS differ from the f64 rerank by whole units, which
+    the k+cushion margin does not provably cover. Quantize upstream
+    (e.g. floor(x * 2) as the hamming driver query does). The same
+    precondition applies to 'jaccard'/'dice', whose binarize (x != 0) is
+    only f32/f64-consistent when elements are exactly representable.
     """
     import uuid
 

@@ -389,6 +389,56 @@ def main() -> int:
         dump,
     )
 
+    # 22. pairwise_f1: SINGLE-PASS — one full-outer join on the pair key
+    #     feeding one aggregation; the whole metric is one lazy plan (the
+    #     r5 verdict flagged the previous three-count-job form). The
+    #     companion zero-jobs-at-construction assertion lives in
+    #     tests/test_eval_single_pass.py.
+    pred22 = docs.select(
+        F.col("doc_id").alias("src_id"), (F.col("doc_id") + 1).alias("tgt_id")
+    )
+    gold22 = docs.select(
+        F.col("doc_id").alias("src_id"), (F.col("doc_id") + 2).alias("tgt_id")
+    )
+    p22 = plan_of(EV.pairwise_f1(pred22, gold22))
+    ok &= check(
+        "pairwise_f1: one full-outer join + one aggregation",
+        p22,
+        ["FullOuter", "HashAggregate"],
+        dump,
+    )
+
+    # 23. blocking_quality: same single-pass shape as pairwise_f1
+    cand23 = docs.select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") + 1).alias("b_id")
+    )
+    gold23 = docs.select(
+        F.col("doc_id").alias("a_id"), (F.col("doc_id") + 2).alias("b_id")
+    )
+    p23 = plan_of(ER.blocking_quality(cand23, gold23, 1000))
+    ok &= check(
+        "blocking_quality: one full-outer join + one aggregation",
+        p23,
+        ["FullOuter", "HashAggregate"],
+        dump,
+    )
+
+    # 24. hits_at_k: gold LEFT-joins the neighbor table once; n_gold and
+    #     the per-k sums fold into the same aggregation (no separate
+    #     gold count subtree)
+    nn24 = docs.select(
+        F.col("doc_id").alias("query_id"),
+        (F.col("doc_id") + 1).alias("cand_id"),
+        F.lit(1).alias("rank"),
+    )
+    p24 = plan_of(EV.hits_at_k(nn24, gold22, ks=(1, 5)))
+    ok &= check(
+        "hits_at_k: single left-join + fused aggregation",
+        p24,
+        ["HashAggregate"],
+        dump,
+    )
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
