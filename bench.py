@@ -251,6 +251,94 @@ def timed_fs_scoring(cores: int) -> tuple[float, int]:
         spark.stop()
 
 
+JW_N = int(os.environ.get("SPARK_GRAFT_JW_N", "120000"))
+JW_PATH = f"/tmp/bench_jw_docs_{JW_N}"
+
+
+def ensure_jw_dataset():
+    """Deterministic blocked corpus for the Jaro-Winkler leg: 64-doc
+    blocks, keys with mixed lengths (6-45 chars) and mostly-distinct
+    first characters — the regime where the provable length-ratio +
+    common-prefix prefilter (er._jw_upper_bound) prunes a large share
+    of blocked pairs before the pandas UDF."""
+    if os.path.exists(os.path.join(JW_PATH, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    from kiez_spark.session import get_spark
+
+    spark = get_spark("bench-jwgen", cores=min(CPUS, 16),
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        h = F.xxhash64(F.col("id"), F.lit(3))
+        # word of length 3 + (hash mod 40): repeats of a hash-chosen char
+        wlen = (F.pmod(h, F.lit(40)) + 3).cast("int")
+        ch = F.substring(
+            F.lit("abcdefghijklmnopqrstuvwxyz"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(5)), F.lit(26)) + 1).cast("int"),
+            1,
+        )
+        key = F.concat(
+            ch,
+            F.repeat(
+                F.substring(
+                    F.lit("abcdefgh"),
+                    (F.pmod(F.xxhash64(F.col("id"), F.lit(9)), F.lit(8)) + 1).cast("int"),
+                    1,
+                ),
+                wlen,
+            ),
+            F.pmod(F.xxhash64(F.col("id"), F.lit(11)), F.lit(1000)).cast("string"),
+        )
+        df = spark.range(JW_N, numPartitions=32).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") / 64).cast("bigint").cast("string").alias("blk"),
+            key.alias("key"),
+        )
+        df.write.mode("overwrite").parquet(JW_PATH)
+    finally:
+        spark.stop()
+
+
+def timed_jw(cores: int, prefilter: bool) -> tuple[float, int]:
+    """One Jaro-Winkler comparator measurement: blocked candidate pairs
+    scored by the exact pandas JW kernel, with or without the codegen
+    upper-bound prefilter (er.jaro_winkler_pairs). Returns (wall, pairs
+    BLOCKED) — the denominator is the same candidate-pair count either
+    way, so pairs/sec directly shows what the prefilter buys."""
+    from pyspark.sql import functions as F
+
+    from kiez_spark.operators import er as ER
+    from kiez_spark.session import get_spark
+
+    ensure_jw_dataset()
+    spark = get_spark(f"bench-jw{cores}", cores=cores,
+                      shuffle_partitions=max(2 * cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        docs = spark.read.parquet(JW_PATH)
+        blocked = ER.blocked_pairs(docs, "blk", "key", max_block=256)
+        n_pairs = blocked.count()
+        n_surv = None
+        if prefilter:
+            # JVM-side survivors (pairs the pandas UDF actually scores) —
+            # an untimed codegen-only count, recorded as pruned_frac
+            n_surv = blocked.filter(
+                ER._jw_upper_bound("a_key", "b_key") >= 0.8 - 1e-9
+            ).count()
+        out = ER.jaro_winkler_pairs(
+            docs, "blk", "key", threshold=0.8, max_block=256,
+            prefilter=prefilter,
+        )
+        out.limit(2000 * cores).count()  # warm workers + codegen
+        t0 = time.time()
+        out.count()
+        return time.time() - t0, n_pairs, n_surv
+    finally:
+        spark.stop()
+
+
 _KPROBE = {}
 
 
@@ -446,6 +534,33 @@ def main():
             )
             # no extra drain here: the mid block below drains itself
             # (SPARK_GRAFT_MID_DRAIN) before every pair, including pair 0
+
+    # Jaro-Winkler comparator leg: the same blocked candidate set scored
+    # with and without the provable codegen prefilter (er._jw_upper_bound)
+    # — records what gating the pandas UDF buys in pairs/sec. One run per
+    # mode (the ratio is the signal; both runs share the session minutes,
+    # so weather hits both sides alike). Disable: SPARK_GRAFT_JW=0.
+    if scaling is not None and os.environ.get("SPARK_GRAFT_JW", "1") != "0":
+        jw_cores = int(os.environ.get("SPARK_GRAFT_JW_CORES", "16"))
+        t_jw_pre, n_jw, n_jw_surv = timed_jw(jw_cores, True)
+        t_jw_raw, _, _ = timed_jw(jw_cores, False)
+        scaling["jw_leg"] = {
+            "cores": jw_cores,
+            "pairs_blocked": n_jw,
+            "pairs_python_scored": n_jw_surv,
+            "pruned_frac": round(1.0 - n_jw_surv / n_jw, 3),
+            "wall_prefilter_sec": round(t_jw_pre, 3),
+            "wall_noprefilter_sec": round(t_jw_raw, 3),
+            "pairs_per_sec_prefilter": round(n_jw / t_jw_pre),
+            "pairs_per_sec_noprefilter": round(n_jw / t_jw_raw),
+            "speedup": round(t_jw_raw / t_jw_pre, 3),
+        }
+        print(
+            f"  jw leg (local[{jw_cores}], {n_jw} blocked pairs):"
+            f" prefilter {t_jw_pre:.1f}s vs raw {t_jw_raw:.1f}s"
+            f" (speedup {t_jw_raw / t_jw_pre:.2f}x)",
+            file=sys.stderr,
+        )
 
     # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
     # interleaved-min like the primary block. Runs LAST: 16 python

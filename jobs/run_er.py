@@ -438,9 +438,14 @@ def main(argv=None) -> int:
     # meta-blocking is high-precision, so the candidate set may hold no
     # non-match class at all and free two-class EM would be degenerate
     # (the Splink fixed-u protocol; see er.fs_em docstring).
+    # n_rows threaded from the already-computed input count so the
+    # u-estimation pairing adds no full-corpus scalar scan of its own
     u_probs = ER.fs_u_probabilities(
         _agreements(
-            docs, ER.random_pairs(docs, n_offsets=args.u_offsets),
+            docs,
+            ER.random_pairs(
+                docs, n_offsets=args.u_offsets, n_rows=report["input_docs"]
+            ),
             args.lev_bound,
         ),
         FIELDS,

@@ -58,6 +58,16 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _nrows(sf_dir: str, table: str) -> int:
+    """Exact row count from the parquet footer — a driver-side metadata
+    read (no Spark count job). Used to thread known cardinalities into
+    operators that otherwise fall back to a full-table scalar scan."""
+    import pyarrow.parquet as _pq
+
+    return _pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -442,6 +452,108 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+# deterministic per-dim variance vector for the seuclidean oracle: both
+# engines use the same literal V_i = 1 + (i mod 7)/4 (i 0-based), so the
+# weights carry no data-dependent estimation step to diverge on
+_SEUCL_V = [1.0 + (i % 7) * 0.25 for i in range(64)]
+
+
+def q_knn_seuclidean(spark, sf_dir):
+    """Standardized euclidean (sklearn metric_params={'V': ...}) through
+    the pandas kernel — the reference's sklearn exact tier accepts it
+    with per-dim weights (sklearn_nearest_neighbors.py:49-101). The
+    engine folds it to euclidean over 1/sqrt(V)-scaled inputs
+    (knn.seuclidean_scale); the oracle scales identically, so the only
+    cross-engine hazard is the euclidean summation order already
+    absorbed by the 6-dp convention."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(
+        emb, emb, TOP_K, "seuclidean", exclude_self=True,
+        metric_params={"V": _SEUCL_V},
+    )
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+SQL_KNN_SEUCLIDEAN = f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id,
+         unnest(vec) * (1.0 / sqrt(1.0 + ((generate_subscripts(vec, 1) - 1) % 7) * 0.25))
+           AS val,
+         generate_subscripts(vec, 1) AS pos
+  FROM v
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid, sqrt(sum(pow(a.val - b.val, 2))) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
+def _q_knn_boolean(metric: str):
+    def fn(spark, sf_dir):
+        emb = _emb(spark, sf_dir).select(
+            "id",
+            F.expr("transform(vec, x -> IF(x > 0, 1.0D, 0.0D))").alias("vec"),
+        )
+        nn = K.knn_join_pandas(emb, emb, TOP_K, metric, exclude_self=True)
+        return nn.select(
+            "query_id", "cand_id", F.col("rank"),
+            F.round("dist", 6).alias("dist"),
+        )
+
+    fn.__doc__ = (
+        f"Boolean {metric} dissimilarity over sign-binarized vectors (the"
+        " reference's sklearn exact tier accepts the boolean family by"
+        " name, sklearn_nearest_neighbors.py:49-101). CTT/XOR counts are"
+        " exact integers in both engines and the single divide is"
+        " correctly rounded, so the distances are bit-exact — like"
+        " hamming's count/d."
+    )
+    return fn
+
+
+def _sql_knn_boolean(metric: str) -> str:
+    den = (
+        "sum(CASE WHEN a.val = 1 OR b.val = 1 THEN 1.0 ELSE 0.0 END)"
+        if metric == "jaccard"
+        else "sum(a.val + b.val)"
+    )
+    return f"""
+WITH {_V_SQL},
+vq AS (
+  SELECT id, list_transform(vec, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END)
+           AS vec
+  FROM v
+),
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM vq
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sum(CASE WHEN a.val <> b.val THEN 1.0 ELSE 0.0 END)
+           / greatest({den}, 1e-300) AS d
+  FROM vex a JOIN vex b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-salted blocked kNN must EQUAL the plain per-key kNN — the
     oracle is the UNSALTED SQL, so exact equality (the whole point of
@@ -646,7 +758,7 @@ FROM final WHERE r <= {TOP_K}
 def q_k_occurrence(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
-    n = emb.count()
+    n = _nrows(sf_dir, "embeddings")
     return A.k_occurrence(nn, n, TOP_K).select("entity_id", "k_occ")
 
 
@@ -663,7 +775,7 @@ FROM ids LEFT JOIN counts ON ids.entity_id = counts.cid
 def q_hubness_measures(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
-    n = emb.count()
+    n = _nrows(sf_dir, "embeddings")
     m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
                         return_value="all", n_cols=TOP_K)
     return m.select(*[F.round(c, 6).alias(c) for c in m.columns])
@@ -674,7 +786,7 @@ def q_atkinson_eps1(spark, sf_dir):
     (estimation.py:145-148); exercises the parametrized eps path."""
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_expr(emb, emb, TOP_K, "euclidean", exclude_self=True)
-    n = emb.count()
+    n = _nrows(sf_dir, "embeddings")
     m = A.hubness_score(nn, n_queries=n, target_samples=n, k=TOP_K,
                         return_value="atkinson", atkinson_eps=1.0,
                         n_cols=TOP_K)
@@ -750,7 +862,7 @@ def q_antihub_entities(spark, sf_dir):
     """Entities never retrieved as neighbors (A7, estimation.py:152-169)."""
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_pandas(emb, emb, TOP_K, "euclidean", exclude_self=True)
-    occ = A.k_occurrence(nn, emb.count(), TOP_K)
+    occ = A.k_occurrence(nn, _nrows(sf_dir, "embeddings"), TOP_K)
     return A.antihubs(occ).orderBy("entity_id")
 
 
@@ -770,7 +882,7 @@ def q_hub_entities(spark, sf_dir):
     """Entities with k-occurrence >= 2k (A8, estimation.py:172-194)."""
     emb = _emb(spark, sf_dir)
     nn = K.knn_join_pandas(emb, emb, TOP_K, "euclidean", exclude_self=True)
-    occ = A.k_occurrence(nn, emb.count(), TOP_K)
+    occ = A.k_occurrence(nn, _nrows(sf_dir, "embeddings"), TOP_K)
     return A.hubs(occ, TOP_K).orderBy("entity_id")
 
 
@@ -2820,11 +2932,15 @@ JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 5
 def q_tfidf_cosine_pairs(spark, sf_dir):
     from kiez_spark.operators import er as ER
 
+    # exact doc count from the parquet footer (docs2 = documents x 2) —
+    # a driver-side metadata read, no Spark count job
+    n_docs = 2 * _nrows(sf_dir, "documents")
     return ER.tfidf_cosine_pairs(
         _docs2(spark, sf_dir),
         shingle_n=3,
         df_cap=64,
         threshold=0.35,
+        n_docs=n_docs,
     )
 
 
@@ -3048,7 +3164,10 @@ def q_er_fs_f1(spark, sf_dir):
         )
 
     fields = ["prefix_eq", "size_close", "lev_small"]
-    u = ER.fs_u_probabilities(compare(ER.random_pairs(docs)), fields)
+    # n_rows is the synth generator's exact row count — no corpus scan
+    u = ER.fs_u_probabilities(
+        compare(ER.random_pairs(docs, n_rows=800)), fields
+    )
     params, _ = ER.fs_em(compare(blocked), fields, n_iter=30, fixed_u=u)
     p = params["p"]
     thr = int(_m.floor(1e6 * _m.log2((1.0 - p) / p)))
@@ -3084,7 +3203,7 @@ def q_blocking_quality(spark, sf_dir):
         F.col("doc_id").alias("a_id"),
         (F.col("doc_id") + 100000).alias("b_id"),
     )
-    n_records = 2 * docs.count()
+    n_records = 2 * _nrows(sf_dir, "documents")
     return ER.blocking_quality(cand, gold, n_records)
 
 
@@ -3174,6 +3293,9 @@ QUERIES = {
     "knn_exact_correlation": (q_knn_correlation, SQL_KNN_CORRELATION),
     "er_bcubed": (q_er_bcubed, SQL_ER_BCUBED),
     "knn_exact_hamming": (q_knn_hamming, SQL_KNN_HAMMING),
+    "knn_exact_seuclidean": (q_knn_seuclidean, SQL_KNN_SEUCLIDEAN),
+    "knn_exact_jaccard": (_q_knn_boolean("jaccard"), _sql_knn_boolean("jaccard")),
+    "knn_exact_dice": (_q_knn_boolean("dice"), _sql_knn_boolean("dice")),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),

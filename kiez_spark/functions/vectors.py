@@ -145,6 +145,80 @@ def braycurtis(a: Column, b: Column) -> Column:
     return num / F.greatest(den, F.lit(1e-300))
 
 
+def jaccard(a: Column, b: Column) -> Column:
+    """Boolean Jaccard dissimilarity (sklearn/scipy convention over
+    binarized vectors, x != 0 as True; the reference's sklearn exact
+    tier accepts it by name, sklearn_nearest_neighbors.py:51-101):
+    (CTF + CFT) / (CTT + CTF + CFT) — mismatches over the union of set
+    bits. Meaningful on quantized/boolean vectors (see knn_join_pandas'
+    quantization precondition). Both counts are exactly-representable
+    integers in f64 and the single divide is correctly rounded, so the
+    value is bit-exact across engines. The all-False/all-False edge
+    (den 0, num 0) is floored like braycurtis — 0/1e-300 = 0.0, the
+    'identical empty sets' convention, identical in every tier and the
+    SQL oracle."""
+    num = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.when((x != 0.0) == (y != 0.0), 0.0).otherwise(1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.when((x != 0.0) | (y != 0.0), 1.0).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return num / F.greatest(den, F.lit(1e-300))
+
+
+def dice(a: Column, b: Column) -> Column:
+    """Boolean Dice dissimilarity over binarized vectors (x != 0 as
+    True): (CTF + CFT) / (2*CTT + CTF + CFT). Equals Bray-Curtis over
+    the 0/1 indicator vectors (|x-y| = XOR, |x+y| = bit sum), which is
+    exactly how the numpy kernels compute it — integer counts, one
+    correctly rounded divide, bit-exact across engines; 0-denominator
+    floored to 1e-300 like braycurtis/jaccard."""
+    num = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.when((x != 0.0) == (y != 0.0), 0.0).otherwise(1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: (x != 0.0).cast("double") + (y != 0.0).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return num / F.greatest(den, F.lit(1e-300))
+
+
+def seuclidean(a: Column, b: Column, V) -> Column:
+    """Standardized euclidean: sqrt(sum_i (a_i - b_i)^2 / V_i) with a
+    per-dimension variance (weight) vector ``V`` — the reference's
+    sklearn exact tier accepts it with metric_params={'V': ...}
+    (sklearn_nearest_neighbors.py:51-101). Computed as plain euclidean
+    over inputs scaled by 1/sqrt(V_i) — the SAME rewrite every kernel
+    tier applies (knn.seuclidean_scale), so cross-tier parity is the
+    euclidean parity already certified."""
+    import math
+
+    s = F.array(*[F.lit(1.0 / math.sqrt(float(v))) for v in V])
+    return euclidean(
+        F.zip_with(a, s, lambda x, w: x * w),
+        F.zip_with(b, s, lambda x, w: x * w),
+    )
+
+
 def chebyshev(a: Column, b: Column) -> Column:
     """L-infinity: max_i |a_i - b_i| (minkowski p=inf limit; the
     reference's sklearn exact tier accepts it by name,
@@ -178,7 +252,9 @@ def minkowski(a: Column, b: Column, p: float) -> Column:
     return F.pow(s, F.lit(1.0 / float(p)))
 
 
-def distance_expr(a: Column, b: Column, metric: str) -> Column:
+def distance_expr(
+    a: Column, b: Column, metric: str, metric_params: dict | None = None
+) -> Column:
     if metric in ("euclidean", "minkowski", "l2"):
         return euclidean(a, b)
     if metric == "sqeuclidean":
@@ -197,6 +273,18 @@ def distance_expr(a: Column, b: Column, metric: str) -> Column:
         return braycurtis(a, b)
     if metric == "correlation":
         return correlation(a, b)
+    if metric == "jaccard":
+        return jaccard(a, b)
+    if metric == "dice":
+        return dice(a, b)
+    if metric == "seuclidean":
+        V = (metric_params or {}).get("V")
+        if V is None:
+            raise ValueError(
+                "metric='seuclidean' requires metric_params={'V': [per-dim"
+                " variances]}"
+            )
+        return seuclidean(a, b, V)
     if metric.startswith("minkowski_"):
         return minkowski(a, b, float(metric.split("_", 1)[1]))
     raise ValueError(f"unsupported metric: {metric}")

@@ -174,6 +174,43 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
     return j
 
 
+def _jw_upper_bound(a_key: str, b_key: str) -> F.Column:
+    """Whole-stage-codegen UPPER BOUND on Jaro-Winkler similarity from
+    lengths + exact common-prefix length only — the provably non-lossy
+    JVM prefilter gate for jaro_winkler_pairs.
+
+    Derivation (textbook JW, the exact kernel below):
+      - Jaro j = (m/l1 + m/l2 + (m-t)/m) / 3 with m <= min(l1, l2), so
+        j <= j_ub := (2 + min/max) / 3          [m(1/l1+1/l2) <= 1+min/max]
+      - Winkler jw = j + 0.1*p*(1-j) applies only when j > 0.7, with p =
+        common-prefix length capped at 4; jw is INCREASING in j
+        (slope 1 - 0.1p >= 0.6), hence for all j <= j_ub:
+          jw <= j_ub + 0.1*p*(1 - j_ub)  if j_ub > 0.7
+          jw <= j_ub                     otherwise (boost can't fire).
+      - p is computed exactly JVM-side: sum over i in 1..4 of
+        [substr(a,1,i) = substr(b,1,i)] — prefix-equality indicators are
+        monotone, so the sum IS the common-prefix length (cap 4).
+    The bound uses only exact integer lengths and a handful of correctly
+    rounded f64 ops; callers compare against threshold - 1e-9 so a few
+    ulps of evaluation error can never drop a true >= threshold pair.
+    Empty/null keys give bound 0 — the kernel scores them 0.0, so
+    dropping them is lossless whenever threshold > 0."""
+    a = F.coalesce(F.col(a_key), F.lit(""))
+    b = F.coalesce(F.col(b_key), F.lit(""))
+    mn = F.least(F.length(a), F.length(b)).cast("double")
+    mx = F.greatest(F.length(a), F.length(b)).cast("double")
+    j_ub = F.when(mx > 0.0, (F.lit(2.0) + mn / mx) / F.lit(3.0)).otherwise(
+        F.lit(0.0)
+    )
+    p = F.lit(0)
+    for i in range(1, 5):
+        p = p + (F.substring(a, 1, i) == F.substring(b, 1, i)).cast("int")
+    return F.when(
+        j_ub > 0.7,
+        j_ub + F.lit(0.1) * p.cast("double") * (F.lit(1.0) - j_ub),
+    ).otherwise(j_ub)
+
+
 def jaro_winkler_pairs(
     df: DataFrame,
     block: str,
@@ -181,6 +218,7 @@ def jaro_winkler_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.8,
     max_block: int = 256,
+    prefilter: bool = True,
 ) -> DataFrame:
     """(a_id, b_id, jw_micro) for blocked pairs with Jaro-Winkler
     similarity >= ``threshold``.
@@ -192,7 +230,15 @@ def jaro_winkler_pairs(
     a decimal-rounded double: the kernel's doubles are bit-identical to
     DuckDB's, and floor on a bit-identical double is exact — no
     cross-engine decimal-rounding boundary exists.
-    """
+
+    ``prefilter`` (default on, active when threshold > 0) gates the
+    pandas UDF behind the cheap codegen bound of _jw_upper_bound: pairs
+    whose length-ratio + common-prefix upper bound already sits below
+    the threshold never reach Python. The bound is PROVABLY non-lossy
+    (see _jw_upper_bound — the output pair set is identical, which the
+    DuckDB oracle row re-certifies every round); at threshold 0.8 it
+    drops every no-common-prefix pair with min/max length ratio < 0.4
+    and progressively more as the prefix shortens."""
     import pandas as pd
     from pyspark.sql.types import DoubleType
 
@@ -209,9 +255,19 @@ def jaro_winkler_pairs(
         "b": pd.Series,
         "return": pd.Series,
     }
-    jw_udf = F.pandas_udf(_jw_batch, DoubleType())
+    # asNondeterministic: the kernel IS deterministic, but the marker
+    # stops Catalyst's filter-pushdown from CLONING the UDF — without it
+    # the `_jw >= threshold` filter is pushed below the projection and
+    # the plan evaluates the Arrow kernel TWICE per pair (observed as two
+    # ArrowEvalPython nodes; 2x the python cost of the whole operator)
+    jw_udf = F.pandas_udf(_jw_batch, DoubleType()).asNondeterministic()
 
     pairs = blocked_pairs(df, block, key, id_col, max_block)
+    if prefilter and threshold > 0:
+        pairs = pairs.filter(
+            _jw_upper_bound("a_key", "b_key")
+            >= F.lit(float(threshold) - 1e-9)
+        )
     scored = pairs.withColumn("_jw", jw_udf("a_key", "b_key"))
     return scored.filter(F.col("_jw") >= F.lit(float(threshold))).select(
         "a_id",
@@ -570,6 +626,7 @@ def random_pairs(
     n_offsets: int = 3,
     seed: int = 7,
     max_rows: int | None = 100_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Deterministic pseudo-random (a_id, b_id) pairings for u-probability
     estimation (a_id < b_id, no self-pairs, deduplicated).
@@ -584,20 +641,32 @@ def random_pairs(
     downsamples it first (u only needs a bounded sample); ranking is the
     bucketed dense_row_number (no single-partition global window), and
     the pairing is an equi-join on the partner rank.
+
+    ``n_rows``: the EXACT row count of ``df``, when the caller already
+    knows it (pipelines usually do — the ER job's state stores per-
+    version doc counts). Passing it removes every full-corpus count job
+    from this function in the undersampled case (the wrap-around
+    pairing arithmetic needs the exact cardinality, so when the hash
+    downsample fires, the filtered subset — a data-dependent size —
+    still costs one count of the FILTERED frame).
     """
     d = df.select(F.col(id_col).alias("id"))
+    n_known = int(n_rows) if n_rows is not None else None
     if max_rows is not None:
-        n_total = d.count()
+        n_total = n_known if n_known is not None else d.count()
         if n_total > max_rows:
             den = -(-n_total // max_rows)
             d = d.filter(
                 F.pmod(F.xxhash64("id", F.lit(seed + 1)), F.lit(den)) == 0
             )
+            n_known = None  # filtered cardinality is data-dependent
+        else:
+            n_known = n_total
     d = d.withColumn("_h", F.xxhash64("id", F.lit(seed)))
     ranked = dense_row_number(d, "_h", out_col="_rn", tiebreak_col="id").drop(
         "_h"
     )
-    n = ranked.count()
+    n = n_known if n_known is not None else ranked.count()
     if n < 2:
         raise ValueError(f"random_pairs: need >= 2 rows, got {n}")
     offs = F.array(*[F.lit(i) for i in range(1, int(n_offsets) + 1)])

@@ -89,13 +89,22 @@ def knn_join_expr(
     block_col: str | None = None,
     exclude_self: bool = False,
     broadcast_index: bool = True,
+    metric_params: dict | None = None,
 ) -> DataFrame:
     """Exact kNN as a declarative join: Catalyst sees everything.
 
     With ``block_col`` the join is an equi-join on the blocking key (shuffle
     or broadcast hash join — Catalyst picks); without it, a broadcast nested
     loop over the (small) indexed side.
+
+    ``metric_params``: {'V': [...]} for metric='seuclidean' (per-dim
+    variances, the sklearn contract). The inputs are scaled ONCE per row
+    (1/sqrt(V)) and the metric folds to euclidean — cheaper than a
+    per-pair weighted expression.
     """
+    queries, index, metric = _apply_seuclidean(
+        queries, index, metric, metric_params, vec_col
+    )
     q = _prep(queries, id_col, vec_col, block_col).alias("q")
     x = _prep(index, id_col, vec_col, block_col).alias("x")
     if broadcast_index:
@@ -179,6 +188,62 @@ def _is_braycurtis(metric: str) -> bool:
     return metric == "braycurtis"
 
 
+def _is_bool_metric(metric: str) -> bool:
+    """sklearn's boolean dissimilarity family beyond hamming: jaccard =
+    (CTF+CFT)/(CTT+CTF+CFT), dice = (CTF+CFT)/(2*CTT+CTF+CFT) over
+    binarized vectors (x != 0 as True). GEMM-expressible: CTT is a dot
+    product of the 0/1 indicators and the row bit-counts supply the
+    rest — counts are integer-exact in f32 up to 2^24 dims, so only the
+    final divide is f32-rounded in the selection pass (absorbed by the
+    k+cushion margin; the f64 rerank divides exact integers and is
+    bit-exact with the SQL oracle)."""
+    return metric in ("jaccard", "dice")
+
+
+def _binarize(m: np.ndarray) -> np.ndarray:
+    """0/1 indicator rewrite for the boolean family (scipy converts via
+    != 0). Like _center_rows for correlation: rewriting the INPUT once
+    lets every tier share one kernel shape."""
+    return (m != 0).astype(np.float64)
+
+
+def _bool_dist(ctt, nq_col, nx_row, metric, tiny):
+    """Distance tile from a CTT tile + row/col bit counts; num/den are
+    integer-valued so the divide is the only rounding."""
+    s = nq_col + nx_row
+    den = s - ctt if metric == "jaccard" else s
+    return (s - 2.0 * ctt) / np.maximum(den, tiny)
+
+
+def seuclidean_scale(df: DataFrame, vec_col: str, V) -> DataFrame:
+    """Rewrite ``vec_col`` to vec_i / sqrt(V_i) so seuclidean reduces to
+    plain euclidean in every tier (sqrt(sum (a_i-b_i)^2 / V_i) ==
+    euclidean over the scaled inputs). V = per-dimension variances, the
+    reference sklearn backend's metric_params={'V': ...} contract."""
+    s = F.array(*[F.lit(1.0 / math.sqrt(float(v))) for v in V])
+    return df.withColumn(
+        vec_col,
+        F.zip_with(vec_as_double(vec_col), s, lambda x, w: x * w),
+    )
+
+
+def _apply_seuclidean(queries, index, metric, metric_params, vec_col):
+    """Shared seuclidean input rewrite for the join tiers: returns
+    (queries, index, metric) with metric folded to euclidean."""
+    if metric != "seuclidean":
+        return queries, index, metric
+    V = (metric_params or {}).get("V")
+    if V is None:
+        raise ValueError(
+            "metric='seuclidean' requires metric_params={'V': [per-dim"
+            " variances]}"
+        )
+    queries = seuclidean_scale(queries, vec_col, V)
+    if index is not None:
+        index = seuclidean_scale(index, vec_col, V)
+    return queries, index, "euclidean"
+
+
 def _center_rows(m: np.ndarray) -> np.ndarray:
     """Row-center (correlation = cosine over centered rows, scipy's
     definition): rewriting the INPUT once lets every tier inherit the
@@ -194,6 +259,13 @@ def _dist_matrix(qm: np.ndarray, xm: np.ndarray, metric: str) -> np.ndarray:
     any p, sklearn_nearest_neighbors.py:51-101)."""
     if metric == "correlation":
         return _dist_matrix(_center_rows(qm), _center_rows(xm), "cosine")
+    if _is_bool_metric(metric):
+        bq, bx = _binarize(qm), _binarize(xm)
+        ctt = bq @ bx.T
+        return _bool_dist(
+            ctt, bq.sum(axis=1)[:, None], bx.sum(axis=1)[None, :],
+            metric, _CANBERRA_TINY,
+        )
     p = _metric_p(metric)
     if p is not None:
         ham = _is_hamming(metric)
@@ -261,8 +333,20 @@ def _topk_block(
     n = xm.shape[0]
     kk = min(k, n)
     is_cos = metric in ("cosine", "cos")
-    p = _metric_p(metric)
-    if is_cos:
+    is_bool = _is_bool_metric(metric)
+    p = None if is_bool else _metric_p(metric)
+    if is_bool:
+        bq64, bx64 = _binarize(qm), _binarize(xm)
+        bq32, bx32 = bq64.astype(np.float32), bx64.astype(np.float32)
+        # integer CTT counts are exact in f32; only the divide rounds
+        d32 = _bool_dist(
+            bq32 @ bx32.T,
+            bq32.sum(axis=1)[:, None],
+            bx32.sum(axis=1)[None, :],
+            metric,
+            np.float32(1e-30),
+        )
+    elif is_cos:
         qn = np.linalg.norm(qm, axis=1)
         xn = np.linalg.norm(xm, axis=1)
         qn[qn == 0] = 1.0
@@ -322,7 +406,16 @@ def _topk_block(
     rows, cols = np.nonzero(mask)
 
     # exact float64 rerank of the selected pairs only (ragged, per-pair)
-    if is_cos:
+    if is_bool:
+        ctt = (bq64[rows] * bx64[cols]).sum(axis=1)
+        dsel = _bool_dist(
+            ctt,
+            bq64.sum(axis=1)[rows],
+            bx64.sum(axis=1)[cols],
+            metric,
+            _CANBERRA_TINY,
+        )
+    elif is_cos:
         dsel = 1.0 - (qmn[rows] * xmn[cols]).sum(axis=1)
     elif p is not None:
         diff = np.abs(qm[rows] - xm[cols])
@@ -390,12 +483,22 @@ class _BruteKnnKernel:
         self.exclude_self = exclude_self
         self.cushion = cushion
         self.is_cos = metric in ("cosine", "cos")
-        self.p = _metric_p(metric)
+        self.is_bool = _is_bool_metric(metric)
+        self.is_jac = metric == "jaccard"
+        self.p = None if self.is_bool else _metric_p(metric)
         self.is_ham = _is_hamming(metric)
         self.is_canb = _is_canberra(metric)
         self.is_bc = _is_braycurtis(metric)
         n = xm.shape[0]
-        if self.p is not None:
+        if self.is_bool:
+            # boolean family: 0/1 indicator copies — CTT comes from one
+            # GEMM (counts exact in f32), the num/den transform runs on
+            # the cache-resident tile (see fill_block)
+            self.xb = _binarize(xm)
+            self.x32 = self.xb.astype(np.float32)
+            self.nx32 = self.x32.sum(axis=1)
+            self.nx64 = self.xb.sum(axis=1)
+        elif self.p is not None:
             # element-wise minkowski family: no GEMM form; tiles are
             # computed as per-dim |q - x|^p accumulation (still blocked,
             # still f32-select/f64-rerank)
@@ -446,10 +549,11 @@ class _BruteKnnKernel:
         self._mask = np.empty((self.batch, self.tile), dtype=bool)
         self._part = np.empty((self.batch, self.tile), dtype=np.float32)
         # canberra: per-dim denominator tile (|q_d| + |x_d|);
-        # braycurtis: across-dim denominator accumulator (sum |q_d + x_d|)
+        # braycurtis: across-dim denominator accumulator (sum |q_d + x_d|);
+        # boolean family: the s = nq + nx broadcast tile
         self._den = (
             np.empty((self.batch, self.tile), dtype=np.float32)
-            if self.is_canb or self.is_bc
+            if self.is_canb or self.is_bc or self.is_bool
             else None
         )
         self._dsub = np.empty((self.batch, self.subtile), dtype=np.float32)
@@ -485,7 +589,11 @@ class _BruteKnnKernel:
         kk = min(self.k, n)
         sel = min(n, kk + self.cushion)
         qabs32 = None
-        if self.p is not None:
+        if self.is_bool:
+            qb = _binarize(qm)
+            q32 = qb.astype(np.float32)
+            nq32 = q32.sum(axis=1)
+        elif self.p is not None:
             q32 = qm.astype(np.float32)
             if self.is_canb:
                 qabs32 = np.abs(q32)
@@ -572,6 +680,24 @@ class _BruteKnnKernel:
                 if den is not None:
                     np.maximum(den, np.float32(1e-30), out=den)
                     dt /= den
+            elif self.is_bool:
+                # dt <- CTT (integer-exact in f32), then the in-place
+                # num/den transform on the cache-resident tile:
+                # num = s - 2*ctt, den = s - ctt (jaccard) / s (dice)
+                np.dot(q32, self.x32[lo : lo + w].T, out=dt)
+                den = self._den[:m, :w]
+                np.add(
+                    nq32[:, None], self.nx32[lo : lo + w][None, :], out=den
+                )  # den = s
+                if self.is_jac:
+                    den -= dt  # s - ctt
+                    dt *= np.float32(-1.0)
+                    dt += den  # (s - ctt) - ctt = s - 2*ctt
+                else:
+                    dt *= np.float32(-2.0)
+                    dt += den  # s - 2*ctt
+                np.maximum(den, np.float32(1e-30), out=den)
+                dt /= den
             else:
                 np.dot(q32, self.x32[lo : lo + w].T, out=dt)
             if self_r is not None:
@@ -675,7 +801,31 @@ class _BruteKnnKernel:
         t1 = self._pool["t1"][:npool]
         t2 = self._pool["t2"][:npool]
         t3 = self._pool["t3"][:npool]
-        if self.p is not None:
+        if self.is_bool:
+            # f64 rerank: CTT via pooled dim-loop dot over the 0/1
+            # indicators; num/den are exact integers, one correctly
+            # rounded divide -> bit-exact with the SQL oracle
+            acc.fill(0.0)
+            for dcol in range(qb.shape[1]):
+                np.take(qb[:, dcol], rows, out=t1)
+                np.take(self.xb[:, dcol], cols, out=t2)
+                t1 *= t2
+                acc += t1
+            # acc = ctt; t1 = s = nq + nx
+            nq64 = qb.sum(axis=1)
+            np.take(nq64, rows, out=t1)
+            np.take(self.nx64, cols, out=t2)
+            t1 += t2
+            if self.is_jac:
+                np.subtract(t1, acc, out=t2)  # den = s - ctt
+            else:
+                np.copyto(t2, t1)  # den = s
+            acc *= -2.0
+            acc += t1  # num = s - 2*ctt
+            np.maximum(t2, _CANBERRA_TINY, out=t2)
+            acc /= t2
+            dsel = acc
+        elif self.p is not None:
             acc.fill(0.0)
             if self.is_bc:
                 acc2.fill(0.0)
@@ -826,6 +976,7 @@ def knn_join_pandas(
     index_np: tuple[np.ndarray, np.ndarray] | None = None,
     index_bc=None,
     cache_token: str | None = None,
+    metric_params: dict | None = None,
 ) -> DataFrame:
     """Exact kNN with a broadcast numpy index and mapInPandas matrix kernel.
 
@@ -847,6 +998,27 @@ def knn_join_pandas(
     only f32/f64-consistent when elements are exactly representable.
     """
     import uuid
+
+    if metric == "seuclidean":
+        V = (metric_params or {}).get("V")
+        if V is None:
+            raise ValueError(
+                "metric='seuclidean' requires metric_params={'V': [...]}"
+            )
+        if index_bc is not None:
+            raise ValueError(
+                "metric='seuclidean' with a pre-broadcast index: scale the"
+                " index by 1/sqrt(V) yourself (seuclidean_scale /"
+                " xm * 1/sqrt(V)) and pass metric='euclidean'"
+            )
+        queries = seuclidean_scale(queries, vec_col, V)
+        if index is not None:
+            index = seuclidean_scale(index, vec_col, V)
+        if index_np is not None:
+            ids_, xm_ = index_np
+            s_ = 1.0 / np.sqrt(np.asarray(V, dtype=np.float64))
+            index_np = (ids_, xm_ * s_[None, :])
+        metric = "euclidean"
 
     spark = queries.sparkSession
     if index_bc is None:
@@ -895,6 +1067,7 @@ def knn_join_blocked(
     vec_col: str = "vec",
     block_col: str = "block",
     exclude_self: bool = False,
+    metric_params: dict | None = None,
 ) -> DataFrame:
     """Exact kNN within blocking keys via cogrouped applyInPandas.
 
@@ -904,6 +1077,9 @@ def knn_join_blocked(
     skew-join split plus salted keys (operators/skew.py) keep hot blocks
     from serializing the stage.
     """
+    queries, index, metric = _apply_seuclidean(
+        queries, index, metric, metric_params, vec_col
+    )
     q = _prep(queries, id_col, vec_col, block_col)
     x = _prep(index, id_col, vec_col, block_col)
 

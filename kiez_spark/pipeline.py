@@ -37,6 +37,10 @@ class PipelineConfig:
     n_candidates: int = 10
     k: int = 5
     metric: str = "euclidean"
+    # per-metric parameters, mirroring sklearn's metric_params contract
+    # (the reference's exact tier forwards them verbatim): seuclidean
+    # requires {'V': [per-dim variances]}
+    metric_params: dict | None = None
     hubness: str = "none"
     tier: str = "expr"
     block_col: str | None = None
@@ -89,6 +93,13 @@ class PipelineConfig:
                 " pairs); use tier='expr'/'pandas'/'blocked', or a"
                 " fallback-capable transform (csls/ls/nicdm/mp_normal)."
             )
+        if self.metric == "seuclidean" and not (
+            self.metric_params and "V" in self.metric_params
+        ):
+            raise ValueError(
+                "metric='seuclidean' requires metric_params={'V': [per-dim"
+                " variances]} (the sklearn contract)"
+            )
         if self.hubness == "dsl" and self.metric not in (
             "euclidean",
             "minkowski",
@@ -120,9 +131,21 @@ class HubnessKnn:
         self, queries: DataFrame, index: DataFrame, k: int, exclude_self: bool
     ) -> DataFrame:
         c = self.config
+        # seuclidean: scale both sides ONCE (1/sqrt(V)) and fold the
+        # metric to euclidean so every tier (including the LSH buckets
+        # and the numpy index collect below) shares the euclidean path.
+        # The pandas-tier cache key is taken from the ORIGINAL object
+        # before rewriting — identity against self.source_/target_.
+        metric = c.metric
+        orig_index = index
+        if metric == "seuclidean":
+            V = c.metric_params["V"]
+            queries = K.seuclidean_scale(queries, c.vec_col, V)
+            index = K.seuclidean_scale(index, c.vec_col, V)
+            metric = "euclidean"
         if c.tier == "expr":
             return K.knn_join_expr(
-                queries, index, k, c.metric,
+                queries, index, k, metric,
                 id_col=c.id_col, vec_col=c.vec_col,
                 block_col=c.block_col, exclude_self=exclude_self,
             )
@@ -130,7 +153,7 @@ class HubnessKnn:
             # index build = the 'fit' step: collect each side's numpy copy
             # + broadcast once, reuse across forward/reverse queries; the
             # stable cache token also lets workers keep one kernel state
-            key = "src" if index is self.source_ else "tgt"
+            key = "src" if orig_index is self.source_ else "tgt"
             if key not in self._index_np:
                 np_idx = K.collect_index(index, c.id_col, c.vec_col)
                 bc = queries.sparkSession.sparkContext.broadcast(np_idx)
@@ -140,7 +163,7 @@ class HubnessKnn:
             # stale worker-cached kernel built from a previous fit's index
             # in the same Spark app
             cands = K.knn_join_pandas(
-                queries, index, k, c.metric,
+                queries, index, k, metric,
                 id_col=c.id_col, vec_col=c.vec_col, exclude_self=exclude_self,
                 index_bc=self._index_np[key],
                 cache_token=f"{self._fit_token}-{key}-{k}",
@@ -152,7 +175,7 @@ class HubnessKnn:
             if not c.block_col:
                 raise ValueError("blocked tier requires block_col")
             cands = K.knn_join_blocked(
-                queries, index, k, c.metric,
+                queries, index, k, metric,
                 id_col=c.id_col, vec_col=c.vec_col,
                 block_col=c.block_col, exclude_self=exclude_self,
             )
@@ -160,7 +183,7 @@ class HubnessKnn:
         if c.tier == "lsh":
             from kiez_spark.operators import lsh as L
 
-            is_cos = c.metric in ("cosine", "cos")
+            is_cos = metric in ("cosine", "cos")
             n_tables = c.lsh_tables if c.lsh_tables is not None else (
                 8 if is_cos else 12
             )
@@ -184,7 +207,7 @@ class HubnessKnn:
             # topk(lsh_candidates(...), k) but the collision rows never
             # leave their bucket (see lsh.lsh_topk docstring)
             return L.lsh_topk(
-                queries, index, k, c.metric,
+                queries, index, k, metric,
                 id_col=c.id_col, vec_col=c.vec_col,
                 n_tables=n_tables, n_bits=n_bits,
                 bucket_width=bw if bw is not None else 2.0,

@@ -283,3 +283,74 @@ def test_fs_em_fixed_u_survives_pure_match_candidates(spark):
     assert params["m"]["f2"] == pytest.approx(0.75, abs=0.02)
     with pytest.raises(ValueError):
         ER.fs_em(pairs, ["f1", "f2"], fixed_u={"f1": 0.01})
+
+
+def _jw_bound_py(a: str, b: str) -> float:
+    """Pure-python twin of er._jw_upper_bound for the property test."""
+    la, lb = len(a), len(b)
+    mx = max(la, lb)
+    if mx == 0:
+        return 0.0
+    j_ub = (2.0 + min(la, lb) / mx) / 3.0
+    p = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        p += 1
+    if j_ub > 0.7:
+        return j_ub + 0.1 * p * (1.0 - j_ub)
+    return j_ub
+
+
+def test_jw_upper_bound_dominates_kernel():
+    # the prefilter bound must dominate the exact kernel on EVERY pair —
+    # fuzz over mixed lengths, shared prefixes, repeats, unicode
+    rng = random.Random(7)
+    alph = "abcdzé中"
+    strs = [
+        "".join(rng.choice(alph) for _ in range(rng.randint(0, 20)))
+        for _ in range(120)
+    ] + ["prefix_shared_x", "prefix_shared_yyyyyyyy", "ab", "ba" * 9]
+    for i in range(len(strs) - 1):
+        a, b = strs[i], strs[i + 1]
+        assert ER._jaro_winkler_py(a, b) <= _jw_bound_py(a, b) + 1e-12, (a, b)
+
+
+def test_jw_prefilter_is_lossless(spark, corpus):
+    # same block/key/threshold with and without the JVM prefilter must
+    # yield the IDENTICAL pair set (the bound is provably non-lossy)
+    kw = dict(
+        block="right(text, 10)",
+        key="substr(text, 1, 24)",
+        threshold=0.7,
+        max_block=16,
+    )
+    with_f = {
+        (r.a_id, r.b_id, r.jw_micro)
+        for r in ER.jaro_winkler_pairs(corpus, **kw).collect()
+    }
+    without = {
+        (r.a_id, r.b_id, r.jw_micro)
+        for r in ER.jaro_winkler_pairs(corpus, prefilter=False, **kw).collect()
+    }
+    assert with_f == without and with_f
+
+
+def test_jw_prefilter_prunes_jvm_side(spark):
+    # pairs with no common prefix and strongly mismatched lengths must
+    # fall out of the plan BEFORE the pandas UDF: the surviving-pair
+    # count equals the exact result, and a direct bound check confirms
+    # the planted junk pair is gated
+    rows = [
+        (0, "b shared-suffix"),                      # len 15
+        (1, "a" * 60 + " shared-suffix"),            # len 74, no common prefix
+        (2, "martha shared-suffix"),
+        (3, "marhta shared-suffix"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = ER.jaro_winkler_pairs(
+        df, block="right(text, 13)", key="text", threshold=0.9, max_block=16
+    ).collect()
+    assert {(r.a_id, r.b_id) for r in got} == {(2, 3)}
+    # the (0, 1) pair is provably below threshold by the bound alone
+    assert _jw_bound_py(rows[0][1], rows[1][1]) < 0.9

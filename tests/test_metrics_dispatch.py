@@ -163,3 +163,109 @@ def test_hubness_score_k_clamp_warns(spark, nn_small):
     assert got.first()["robinhood"] == pytest.approx(
         exp.first()["robinhood"], rel=1e-12
     )
+
+
+@pytest.mark.parametrize("metric", ["jaccard", "dice"])
+def test_boolean_metric_cross_tier_and_formula(spark, source_target, metric):
+    """Boolean jaccard/dice over binarized vectors: expr == pandas ==
+    blocked exactly (counts are integers; the one divide is correctly
+    rounded everywhere), and both match the scipy set-formula computed
+    directly in numpy."""
+    src, tgt = source_target
+    bsrc = (src > 0.5).astype(np.float64)
+    btgt = (tgt > 0.5).astype(np.float64)
+    rows_q = [(i, [float(x) for x in r], 0) for i, r in enumerate(bsrc)]
+    rows_x = [(i, [float(x) for x in r], 0) for i, r in enumerate(btgt)]
+    q = spark.createDataFrame(rows_q, "id bigint, vec array<double>, block int")
+    x = spark.createDataFrame(rows_x, "id bigint, vec array<double>, block int")
+    exp = _collect_nn(K.knn_join_expr(q, x, 5, metric))
+    got = _collect_nn(K.knn_join_pandas(q, x, 5, metric))
+    assert got == exp
+    blk_df = K.knn_join_blocked(q, x, 5, metric, block_col="block")
+    blk = {(r["query_id"], r["cand_id"]): r["dist"] for r in blk_df.collect()}
+    exp_pairs = {(qi, cid): d for (qi, _), (cid, d) in exp.items()}
+    assert blk == exp_pairs
+    # scipy formula reference: ctf+cft over union (jaccard) / bit-sum (dice)
+    for (qi, _rank), (cid, d) in exp.items():
+        a, b = bsrc[qi], btgt[cid]
+        ctt = float((a * b).sum())
+        num = float(np.abs(a - b).sum())
+        den = (a.sum() + b.sum() - ctt) if metric == "jaccard" else (
+            a.sum() + b.sum()
+        )
+        want = num / den if den else 0.0
+        assert d == pytest.approx(want, abs=1e-12), (qi, cid)
+
+
+def test_boolean_metric_zero_vectors(spark):
+    # identical empty sets -> distance 0 (both engines' floored-den
+    # convention); empty vs non-empty -> 1
+    rows = [(0, [0.0, 0.0, 0.0]), (1, [0.0, 0.0, 0.0]), (2, [1.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows, "id bigint, vec array<double>")
+    for metric in ("jaccard", "dice"):
+        got = {
+            (r["query_id"], r["cand_id"]): r["dist"]
+            for r in K.knn_join_pandas(
+                df, df, 3, metric, exclude_self=True
+            ).collect()
+        }
+        assert got[(0, 1)] == 0.0
+        assert got[(0, 2)] == 1.0
+        assert got[(2, 0)] == 1.0
+
+
+def test_seuclidean_cross_tier_and_formula(spark, source_target, source_df, target_df):
+    """seuclidean with data-derived per-dim variances: pandas kernel ==
+    expr tier on indices (f64-tolerance distances), both match the
+    sklearn formula sqrt(sum (a-b)^2 / V) computed in numpy."""
+    src, tgt = source_target
+    V = np.var(np.vstack([src, tgt]), axis=0)
+    mp = {"V": [float(v) for v in V]}
+    exp = _collect_nn(
+        K.knn_join_expr(source_df, target_df, 5, "seuclidean", metric_params=mp)
+    )
+    got = _collect_nn(
+        K.knn_join_pandas(source_df, target_df, 5, "seuclidean", metric_params=mp)
+    )
+    assert set(got) == set(exp)
+    for key, (cid, dist) in exp.items():
+        gcid, gdist = got[key]
+        assert gcid == cid, key
+        assert gdist == pytest.approx(dist, rel=1e-9), key
+        qi = key[0]
+        want = float(np.sqrt((((src[qi] - tgt[cid]) ** 2) / V).sum()))
+        assert gdist == pytest.approx(want, rel=1e-9), key
+
+
+def test_seuclidean_requires_V(spark, source_df, target_df):
+    from kiez_spark.pipeline import PipelineConfig
+
+    with pytest.raises(ValueError, match="seuclidean"):
+        K.knn_join_expr(source_df, target_df, 5, "seuclidean")
+    with pytest.raises(ValueError, match="seuclidean"):
+        PipelineConfig(metric="seuclidean")
+
+
+def test_pipeline_seuclidean_pandas_tier(spark, source_df, target_df, source_target):
+    """The engine surface: HubnessKnn(metric='seuclidean') through the
+    pandas tier equals the direct join call."""
+    from kiez_spark.pipeline import HubnessKnn, PipelineConfig
+
+    src, tgt = source_target
+    V = [float(v) for v in np.var(np.vstack([src, tgt]), axis=0)]
+    eng = HubnessKnn(
+        PipelineConfig(
+            n_candidates=5, k=5, metric="seuclidean",
+            metric_params={"V": V}, tier="pandas",
+        )
+    )
+    eng.fit(source_df, target_df)
+    got = _collect_nn(eng.kneighbors(5).select("query_id", "cand_id", "dist", "rank"))
+    exp = _collect_nn(
+        K.knn_join_pandas(
+            source_df, target_df, 5, "seuclidean", metric_params={"V": V}
+        )
+    )
+    for key, (cid, dist) in exp.items():
+        gcid, gdist = got[key]
+        assert gcid == cid and gdist == pytest.approx(dist, rel=1e-12), key
