@@ -54,6 +54,9 @@ Usage (local smoke):
       --state-dir /tmp/er_state --top-n 0
   spark-submit jobs/run_er.py --increment --input batch.parquet \\
       --output /tmp/er1 --state-dir /tmp/er_state
+  # stream (one file per micro-batch, foreachBatch, availableNow):
+  spark-submit jobs/run_er.py --stream-input /data/incoming \\
+      --output /tmp/er_stream --state-dir /tmp/er_state
 """
 
 from __future__ import annotations
@@ -283,21 +286,39 @@ def _run_compact(args, spark):
 
 
 def _run_increment(args, spark):
+    batch, _, _ = _load_docs(args, spark, need_gold=False)
+    report = _er_increment(spark, batch, args.state_dir, args.output)
+    print(json.dumps(report))
+    return 0
+
+
+def _er_increment(spark, batch, state_dir, output_dir):
+    """Link ONE new batch of (doc_id, text, content_sha) against the
+    persisted state; the reusable core behind both ``--increment`` (one
+    batch per process) and ``--stream-input`` (one call per micro-batch
+    inside foreachBatch). Docs whose id already exists in the corpus
+    state are dropped up front (ids are immutable in this model), which
+    makes at-least-once re-delivery a no-op: a replayed micro-batch
+    re-links zero docs, writes empty state deltas and cannot inflate
+    the per-key df stats (the cap contract stays exact)."""
     from pyspark.sql import functions as F
 
     from kiez_spark.operators import clustering as C
     from kiez_spark.operators import er as ER
 
-    ver, vbase = _state_version(args.state_dir)
+    ver, vbase = _state_version(state_dir)
     if ver < 1:
         raise SystemExit("--increment requires a base run's --state-dir state")
     params, corpus_docs, posting, stats, assign = _read_state(
-        spark, args.state_dir, ver, vbase
+        spark, state_dir, ver, vbase
     )
 
-    batch, _, _ = _load_docs(args, spark, need_gold=False)
     report = {"mode": "increment", "base_version": ver,
               "batch_docs": batch.count()}
+    batch = batch.join(
+        corpus_docs.select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=False)
+    report["batch_docs_new"] = batch.count()
 
     inc = ER.incremental_blocking_pairs(
         batch, _keys_expr(), posting, stats,
@@ -345,12 +366,65 @@ def _run_increment(args, spark):
     batch_raw = ER.blocking_postings_raw(batch, _keys_expr())
     batch_stats = batch_raw.groupBy("k").agg(F.count("*").alias("df"))
     _write_state_delta(
-        args.state_dir, ver + 1, batch, batch_raw, batch_stats,
+        state_dir, ver + 1, batch, batch_raw, batch_stats,
         changed, params, base=vbase,
     )
     report["new_version"] = ver + 1
-    decisions.write.mode("overwrite").parquet(args.output)
-    print(json.dumps(report))
+    decisions.write.mode("overwrite").parquet(output_dir)
+    return report
+
+
+def _run_stream(args, spark):
+    """Continuous incremental linkage: a parquet-directory file stream of
+    (doc_id, text) batches, each micro-batch linked against the state
+    through the SAME `_er_increment` core (foreachBatch, availableNow).
+    Per-epoch decisions land under <output>/epoch=<id>/.
+
+    Delivery semantics: Structured Streaming's checkpoint gives
+    at-least-once foreachBatch execution, and at-least-once is SAFE by
+    construction here: _er_increment anti-joins re-delivered doc ids
+    against the corpus state, so a replayed epoch links zero docs and
+    leaves clusters and df stats untouched (tests/test_er_job.py)."""
+    from pyspark.sql import functions as F
+
+    if not args.state_dir:
+        raise SystemExit("--stream-input requires --state-dir")
+    reports = []
+
+    def handle(batch_df, epoch_id):
+        # EAGER barrier: the micro-batch frame is a LogicalRDD and the
+        # core's lazy localCheckpoints cannot rewrite a plan nesting one
+        # (same failure mode documented in jobs/run_curation.py) —
+        # materialize clean first, then attach the ingest sha invariant
+        docs = (
+            batch_df.select("doc_id", "text")
+            .withColumn("content_sha", F.sha2("text", 256))
+            .localCheckpoint()
+        )
+        rep = _er_increment(
+            spark, docs, args.state_dir,
+            os.path.join(args.output, f"epoch={epoch_id}"),
+        )
+        rep["epoch"] = epoch_id
+        reports.append(rep)
+        print(json.dumps(rep))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(args.stream_input)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option(
+            "checkpointLocation",
+            args.checkpoint_dir or os.path.join(args.output, "_stream_ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    print(json.dumps({"mode": "stream", "epochs": len(reports)}))
     return 0
 
 
@@ -367,6 +441,10 @@ def main(argv=None) -> int:
                     help="persist index/params/assignments for increments")
     ap.add_argument("--increment", action="store_true",
                     help="link a new batch against the --state-dir state")
+    ap.add_argument("--stream-input", default=None,
+                    help="parquet dir consumed as a file stream; each "
+                         "micro-batch runs the --increment core "
+                         "(foreachBatch, availableNow)")
     ap.add_argument("--compact-state", action="store_true",
                     help="fold all live state deltas into one snapshot "
                          "version and advance the read base")
@@ -394,6 +472,8 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("kiez-spark-er").getOrCreate()
 
+    if args.stream_input:
+        return _run_stream(args, spark)
     if args.increment:
         if not args.state_dir:
             ap.error("--increment requires --state-dir")

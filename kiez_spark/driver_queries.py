@@ -2166,53 +2166,6 @@ def q_linkage_f1_lsh_scale(spark, sf_dir):
     ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
 
 
-def q_alignment_f1(spark, sf_dir):
-    """Dual-space alignment gate (the reference's headline use case):
-    source corpus vs a one-token-edit mutated copy; mutual-best CSLS
-    matches vs the planted gold alignment. Rows-only driver check; the
-    >=0.99 assertion lives in tests/test_synth_lsh_linkage.py."""
-    from kiez_spark import synth
-    from kiez_spark.linkage import align_files
-
-    src = synth.repos_files(spark, n=800)
-    tgt = synth.mutated_copy(src)
-    res = align_files(spark, src, tgt, hubness="csls", max_dist=12.0)
-    return E.pairwise_f1(
-        res.matches.select("src_id", "tgt_id"),
-        synth.gold_alignment(src),
-        pred_cols=("src_id", "tgt_id"),
-    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
-
-
-def q_alignment_hits(spark, sf_dir):
-    """hits@{1,5} of the forward hubness-reduced top-k against the
-    planted gold alignment (the reference's headline eval, hits@k)."""
-    from kiez_spark import synth
-    from kiez_spark.linkage import align_files
-
-    src = synth.repos_files(spark, n=800)
-    tgt = synth.mutated_copy(src)
-    res = align_files(spark, src, tgt, hubness="csls", mutual=False)
-    return E.hits_at_k(res.forward, synth.gold_alignment(src), ks=(1, 5)).select(
-        "k", F.round("hits", 6).alias("hits")
-    )
-
-
-def q_linkage_f1(spark, sf_dir):
-    """Self-contained linkage quality gate: synthetic repos_files with
-    planted gold clusters -> full pipeline -> pairwise F1 row."""
-    from kiez_spark import synth
-    from kiez_spark.linkage import link_files
-
-    files = synth.repos_files(spark, n=400)
-    res = link_files(spark, files, max_dist=12.0)
-    return E.pairwise_f1(
-        E.clusters_to_pairs(res.clusters),
-        synth.gold_pairs(files),
-        pred_cols=("u", "v"),
-    ).select("tp", "fp", "fn", F.round("f1", 6).alias("f1"))
-
-
 def q_dedup_decisions(spark, sf_dir):
     """Survivor election over the minhash near-dup graph of docs2:
     per-component keeper = highest quality_features score (ties -> min
@@ -3279,6 +3232,481 @@ WHERE rank <= 5
 """
 
 
+# ---------------- derived-embedding linkage/alignment oracles (r6)
+#
+# The end-to-end F1 gates were rows-only through r5 because they ran on
+# synth corpora (xxhash64-generated — invisible to DuckDB). They now run
+# on the driver's documents table with the SAME library pipelines
+# (link_files / align_files), and the oracle replays every stage in SQL:
+# synth.derive_embeddings sums INT64 hash numerators and divides once
+# (bit-exact in any engine), so the embeddings, exact kNN, CSLS rescore,
+# threshold match, connected components and the pairwise F1 counts are
+# all SQL-expressible. Outputs are integers (tp/fp/fn/f1_micro) — no
+# rounded-double hazard.
+
+_LINK_MAX_DIST = 8.0  # calibrated: planted one-token-edit pairs sit at
+# 3.8-5.6 on this corpus (dim=32), unrelated docs at ~30+ — 8.0 splits
+# the two populations with wide margins on both sides
+
+
+def _emb_abc(dim: int = 32, seed: int = 42):
+    """The derive_embeddings per-dim mix constants, drawn exactly like
+    synth.derive_embeddings does (RandomState(seed))."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, 2001, size=dim).astype(int)
+    b = rs.randint(1, 1999, size=dim).astype(int)
+    c = rs.randint(0, 2001, size=dim).astype(int)
+    return a.tolist(), b.tolist(), c.tolist()
+
+
+def _derived_emb_sql(files: str, out: str, dim: int = 32) -> str:
+    """CTE chunk rebuilding synth.derive_embeddings in SQL: ``files``
+    must expose (fid, content); emits ``{out}``(id, pos, val) in long
+    form. val = sum_int64(per-token numerator) / 1000.0 — the identical
+    integer arithmetic of the Spark kernel, so values are bit-exact."""
+    a, b, c = _emb_abc(dim)
+    dims = ", ".join(
+        f"({j}, {a[j]}, {b[j]}, {c[j]})" for j in range(dim)
+    )
+    return f"""
+{out}_tok AS (
+  SELECT fid,
+         ('0x' || substr(md5(unnest(string_split(content, ' '))), 1, 15))::BIGINT
+           AS h
+  FROM {files}
+),
+{out}_dims (j, aj, bj, cj) AS (VALUES {dims}),
+{out} AS (
+  SELECT t.fid AS id, d.j AS pos,
+         sum(((t.h % 2003) * d.aj + (t.h % 1999) * d.bj + d.cj) % 2001 - 1000)
+           / 1000.0 AS val
+  FROM {out}_tok t CROSS JOIN {out}_dims d
+  GROUP BY t.fid, d.j
+)"""
+
+
+_LINK_FILES_SQL = """
+base_f AS (SELECT doc_id AS fid, text AS content FROM documents),
+mut_f AS (
+  SELECT doc_id + 1000000 AS fid,
+         regexp_replace(text, '^\\S+', 'zz9') AS content
+  FROM documents
+),
+all_f AS (SELECT * FROM base_f UNION ALL SELECT * FROM mut_f)
+"""
+
+_F1_COUNTS_SQL = """
+mix AS (
+  SELECT p.u AS pu, g.u AS gu
+  FROM pred p FULL OUTER JOIN gold g ON p.u = g.u AND p.v = g.v
+),
+counts AS (
+  SELECT count(pu) AS n_pred, count(gu) AS n_gold,
+         count(CASE WHEN pu IS NOT NULL AND gu IS NOT NULL THEN 1 END) AS tp
+  FROM mix
+)
+SELECT tp::BIGINT AS tp,
+       (n_pred - tp)::BIGINT AS fp,
+       (n_gold - tp)::BIGINT AS fn,
+       (CASE WHEN 2 * tp + (n_pred - tp) + (n_gold - tp) > 0
+             THEN floor((2.0 * tp / (2 * tp + (n_pred - tp) + (n_gold - tp)))
+                        * 1000000.0)
+             ELSE 0 END)::BIGINT AS f1_micro
+FROM counts
+"""
+
+
+def _files_from_docs(spark, sf_dir):
+    """documents as the linkage input_hint shape (row_id, content)."""
+    return _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("row_id"), F.col("text").alias("content")
+    )
+
+
+def _f1_micro_df(f1_df):
+    den = 2 * F.col("tp") + F.col("fp") + F.col("fn")
+    return f1_df.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            den > 0,
+            F.floor((2.0 * F.col("tp") / den) * F.lit(1e6)),
+        ).otherwise(F.lit(0)).cast("bigint").alias("f1_micro"),
+    )
+
+
+_LINK_CLEAN_DIST = 16.0  # corpus-cleaning cutoff: the documents table
+# contains its own near-duplicate pairs (one-token variants at ~3.3);
+# docs whose base-space nearest neighbor sits within 16 are excluded so
+# the planted pairs are the ONLY near-dup structure, with a triangle-
+# inequality margin (16 - max planted dist 5.6 = 10.4 > match gate 8)
+# keeping cross pairs (base_i vs mutated_j) outside the gate too
+
+
+def q_linkage_f1(spark, sf_dir):
+    """End-to-end linkage gate, ORACLE-BACKED (r6 promotion): cleaned
+    documents + one-token-edit copies -> link_files (hash-feature
+    embeddings, exact CSLS kNN, raw-distance match gate, connected
+    components) -> pairwise F1 vs the planted (doc_id, doc_id+1e6)
+    gold. The DuckDB oracle replays every stage — embedding derivation
+    included (integer-exact, see synth.derive_embeddings); integer
+    outputs hash exactly. The synth-corpus F1 >= 0.99 assertions remain
+    in tests/test_synth_lsh_linkage.py and the LSH-tier rows-only
+    gates."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import link_files
+
+    base = _files_from_docs(spark, sf_dir)
+    emb0 = synth.derive_embeddings(base, dim=32)
+    bad = (
+        K.knn_join_pandas(emb0, emb0, 1, "euclidean", exclude_self=True)
+        .filter(F.col("dist") <= _LINK_CLEAN_DIST)
+        .select(F.col("query_id").alias("row_id"))
+    )
+    clean = base.join(bad, "row_id", "left_anti")
+    files = clean.unionByName(synth.mutated_copy(clean))
+    res = link_files(
+        spark, files, hubness="csls", max_dist=_LINK_MAX_DIST
+    )
+    gold = clean.select(
+        F.col("row_id").alias("src_id"),
+        (F.col("row_id") + 1000000).alias("tgt_id"),
+    )
+    return _f1_micro_df(
+        E.pairwise_f1(
+            E.clusters_to_pairs(res.clusters), gold, pred_cols=("u", "v")
+        )
+    )
+
+
+SQL_LINKAGE_F1 = f"""
+WITH RECURSIVE {_LINK_FILES_SQL},
+{_derived_emb_sql('all_f', 'emb')},
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sqrt(sum((a.val - b.val) * (a.val - b.val))) AS d
+  FROM emb a JOIN emb b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+bad AS (
+  SELECT DISTINCT qid AS id FROM pairs
+  WHERE qid < 1000000 AND cid < 1000000 AND d <= {_LINK_CLEAN_DIST}
+),
+cpairs AS (
+  SELECT * FROM pairs
+  WHERE (CASE WHEN qid >= 1000000 THEN qid - 1000000 ELSE qid END)
+          NOT IN (SELECT id FROM bad)
+    AND (CASE WHEN cid >= 1000000 THEN cid - 1000000 ELSE cid END)
+          NOT IN (SELECT id FROM bad)
+),
+fwd AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM cpairs
+),
+cand AS (SELECT qid, cid, d FROM fwd WHERE r <= {N_CAND}),
+stats AS (SELECT qid AS sid, avg(d) AS s FROM cand GROUP BY qid),
+scored AS (
+  SELECT c.qid, c.cid, c.d, 2.0 * c.d - q.s - t.s AS d2
+  FROM cand c JOIN stats q ON c.qid = q.sid JOIN stats t ON c.cid = t.sid
+),
+final AS (
+  SELECT qid, cid, d, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM scored
+),
+matched AS (
+  SELECT DISTINCT least(qid, cid) AS u, greatest(qid, cid) AS v
+  FROM final WHERE r <= {TOP_K} AND d <= {_LINK_MAX_DIST}
+),
+sym AS (SELECT u, v FROM matched UNION SELECT v, u FROM matched),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+clean_f AS (
+  SELECT fid FROM all_f
+  WHERE (CASE WHEN fid >= 1000000 THEN fid - 1000000 ELSE fid END)
+          NOT IN (SELECT id FROM bad)
+),
+assign AS (
+  SELECT f.fid AS id, coalesce(comp.component, f.fid) AS component
+  FROM clean_f f LEFT JOIN comp ON f.fid = comp.id
+),
+pred AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM assign a JOIN assign b
+    ON a.component = b.component AND a.id < b.id
+),
+gold AS (
+  SELECT doc_id AS u, doc_id + 1000000 AS v FROM documents
+  WHERE doc_id NOT IN (SELECT id FROM bad)
+),
+{_F1_COUNTS_SQL}
+"""
+
+
+def q_alignment_f1(spark, sf_dir):
+    """Dual-space alignment gate, ORACLE-BACKED (r6 promotion): source =
+    documents, target = one-token-edit copies; mutual-best CSLS matches
+    with the raw-distance gate vs the identity gold alignment. Oracle
+    replays the dual CSLS + mutual rank-1 + threshold in SQL; integer
+    outputs."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+
+    src = _files_from_docs(spark, sf_dir)
+    tgt = synth.mutated_copy(src)
+    res = align_files(
+        spark, src, tgt, hubness="csls", max_dist=_LINK_MAX_DIST
+    )
+    gold = src.select(
+        F.col("row_id").alias("src_id"),
+        (F.col("row_id") + 1000000).alias("tgt_id"),
+    )
+    return _f1_micro_df(
+        E.pairwise_f1(
+            res.matches.select("src_id", "tgt_id"),
+            gold,
+            pred_cols=("src_id", "tgt_id"),
+        )
+    )
+
+
+_ALIGN_DUAL_SQL = f"""
+{_LINK_FILES_SQL},
+{_derived_emb_sql('base_f', 'semb')},
+{_derived_emb_sql('mut_f', 'temb')},
+fwd_pairs AS (
+  SELECT s.id AS qid, t.id AS cid,
+         sqrt(sum((s.val - t.val) * (s.val - t.val))) AS d
+  FROM semb s JOIN temb t ON s.pos = t.pos
+  GROUP BY s.id, t.id
+),
+fwd AS (
+  SELECT qid, cid, d,
+         row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM fwd_pairs
+),
+cand AS (SELECT qid, cid, d FROM fwd WHERE r <= {N_CAND}),
+rev AS (
+  SELECT cid AS qid, qid AS cid, d,
+         row_number() OVER (PARTITION BY cid ORDER BY d, qid) AS r
+  FROM fwd_pairs
+),
+rcand AS (SELECT qid, cid, d FROM rev WHERE r <= {N_CAND}),
+r_test AS (SELECT qid, avg(d) AS s FROM cand GROUP BY qid),
+r_train AS (SELECT qid AS tid, avg(d) AS s FROM rcand GROUP BY qid),
+fscored AS (
+  SELECT c.qid, c.cid, c.d, 2.0 * c.d - q.s - t.s AS d2
+  FROM cand c JOIN r_test q ON c.qid = q.qid JOIN r_train t ON c.cid = t.tid
+),
+ffinal AS (
+  SELECT qid, cid, d, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM fscored
+),
+bscored AS (
+  SELECT c.qid, c.cid, 2.0 * c.d - q.s - t.s AS d2
+  FROM rcand c JOIN r_train q ON c.qid = q.tid JOIN r_test t ON c.cid = t.qid
+),
+bfinal AS (
+  SELECT qid, cid, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS r
+  FROM bscored
+)
+"""
+
+
+SQL_ALIGNMENT_F1 = f"""
+WITH {_ALIGN_DUAL_SQL},
+pred AS (
+  SELECT f.qid AS u, f.cid AS v
+  FROM ffinal f
+  JOIN bfinal b ON b.qid = f.cid AND b.cid = f.qid AND b.r = 1
+  WHERE f.r = 1 AND f.d <= {_LINK_MAX_DIST}
+),
+gold AS (SELECT doc_id AS u, doc_id + 1000000 AS v FROM documents),
+{_F1_COUNTS_SQL}
+"""
+
+
+def q_alignment_hits(spark, sf_dir):
+    """hits@{{1,5}} of the forward CSLS top-k vs the identity gold
+    alignment, ORACLE-BACKED (r6 promotion) — integer hits_micro like
+    the hits_at_k row."""
+    from kiez_spark import synth
+    from kiez_spark.linkage import align_files
+
+    src = _files_from_docs(spark, sf_dir)
+    tgt = synth.mutated_copy(src)
+    res = align_files(spark, src, tgt, hubness="csls", mutual=False)
+    gold = src.select(
+        F.col("row_id").alias("src_id"),
+        (F.col("row_id") + 1000000).alias("tgt_id"),
+    )
+    return E.hits_at_k(res.forward, gold, ks=(1, 5)).select(
+        "k",
+        F.expr(
+            "(n_hits div n_gold) * 1000000"
+            " + ((n_hits % n_gold) * 1000000) div n_gold"
+        ).cast("bigint").alias("hits_micro"),
+    )
+
+
+SQL_ALIGNMENT_HITS = f"""
+WITH {_ALIGN_DUAL_SQL},
+nn AS (SELECT qid, cid, r FROM ffinal WHERE r <= {TOP_K}),
+gold AS (SELECT doc_id AS src_id, doc_id + 1000000 AS tgt_id FROM documents),
+matched AS (
+  SELECT g.src_id, min(nn.r) AS best_rank
+  FROM gold g JOIN nn ON nn.qid = g.src_id AND nn.cid = g.tgt_id
+  GROUP BY g.src_id
+),
+ks AS (SELECT unnest([1, 5]) AS k),
+c AS (
+  SELECT ks.k::INT AS k,
+         coalesce(sum(CASE WHEN m.best_rank <= ks.k THEN 1 ELSE 0 END), 0)
+           ::BIGINT AS n_hits,
+         (SELECT count(*) FROM gold)::BIGINT AS n_gold
+  FROM ks LEFT JOIN matched m ON true
+  GROUP BY ks.k
+)
+SELECT k,
+       ((n_hits // n_gold) * 1000000
+        + ((n_hits % n_gold) * 1000000) // n_gold)::BIGINT AS hits_micro
+FROM c
+"""
+
+
+def q_fs_pipeline_f1(spark, sf_dir):
+    """Deterministic Fellegi-Sunter pipeline gate, ORACLE-BACKED: blocked
+    docs2 candidates -> agreement booleans -> literal-(m,u) log2 scoring
+    -> posterior-0.5 threshold (weight > 0, p = 0.5 prior) -> connected
+    components -> pairwise F1 vs the planted (doc_id, doc_id+100000)
+    gold. This is jobs/run_er.py's scoring->clustering->evaluation chain
+    with the EM step pinned to literals, so the WHOLE chain sits under a
+    DuckDB hash gate; EM estimation itself stays covered by
+    fs_em_posteriors (rows-only by design) + pytest mixture recovery."""
+    from kiez_spark.operators import clustering as CCl
+    from kiez_spark.operators import er as ER
+
+    pairs = _fs_pairs(spark, sf_dir)
+    matched = (
+        ER.fs_scores(pairs, _FS_FIELDS)
+        .filter(F.col("weight_micro") > 0)
+        .select("a_id", "b_id")
+    )
+    d2 = _docs2(spark, sf_dir)
+    comps = CCl.connected_components(
+        matched, nodes=d2.select("doc_id"), pair_cols=("a_id", "b_id")
+    )
+    gold = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("src_id"),
+        (F.col("doc_id") + 100000).alias("tgt_id"),
+    )
+    return _f1_micro_df(
+        E.pairwise_f1(E.clusters_to_pairs(comps), gold, pred_cols=("u", "v"))
+    )
+
+
+SQL_FS_PIPELINE_F1 = f"""
+WITH RECURSIVE {_DOCS2_SQL},
+{_ER_KEYED_SQL},
+matched AS (
+  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+  FROM keyed a
+  JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN ok ON a.blk = ok.blk
+  JOIN documents al ON al.doc_id = a.doc_id % 100000
+  JOIN documents bl ON bl.doc_id = b.doc_id % 100000
+  WHERE CAST(floor(1e6 * ({_fs_sql_weight()})) AS BIGINT) > 0
+),
+sym AS (SELECT u, v FROM matched UNION SELECT v, u FROM matched),
+reach(a, b) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+),
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
+  FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+),
+pred AS (
+  SELECT DISTINCT a.id AS u, b.id AS v
+  FROM assign a JOIN assign b
+    ON a.component = b.component AND a.id < b.id
+),
+gold AS (SELECT doc_id AS u, doc_id + 100000 AS v FROM documents),
+{_F1_COUNTS_SQL}
+"""
+
+
+def q_er_strict_retraction(spark, sf_dir):
+    """STRICT incremental blocking proven against a full re-block (r6):
+    corpus = documents, batch = mutated near-copies; df_cap=6 forces the
+    shared trigram keys to CROSS the cap when the batch lands. Spark
+    runs the strict chain — base pairs + batch-incident pairs MINUS
+    crossed_cap_retractions — and the DuckDB oracle re-blocks the
+    combined corpus from scratch, so a green row IS the strict-mode ==
+    full-re-run equality, run in the gate every round (the monotone
+    default's twin gate is er_incremental)."""
+    from kiez_spark.operators import er as ER
+
+    cap, m = 6, 3
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+    )
+    keys = F.transform(T.shingles(T.tokens(F.col("text")), 3), T.token_hash)
+    posting, stats = ER.build_blocking_index(corpus, keys, df_cap=cap)
+    base = ER.metablocking_pairs(
+        corpus, keys, df_cap=cap, min_cbs=m, top_n=None
+    ).select("a_id", "b_id")
+    inc = ER.incremental_blocking_pairs(
+        batch, keys, posting, stats, df_cap=cap, min_cbs=m
+    ).select("a_id", "b_id")
+    retr = ER.crossed_cap_retractions(
+        posting, stats, batch, keys, df_cap=cap, min_cbs=m
+    )
+    return (
+        base.unionByName(inc)
+        .distinct()
+        .join(retr, ["a_id", "b_id"], "left_anti")
+    )
+
+
+SQL_ER_STRICT_RETRACTION = f"""
+WITH {_DOCS2_SQL},
+posting AS (
+  SELECT DISTINCT doc_id AS id, k
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             {_shingles_sql(_TOKENS_SQL.format(col='text'), 3)},
+             x -> {_H_SQL.format(s='x')})) AS k
+    FROM docs2
+  )
+),
+ok AS (SELECT k FROM posting GROUP BY k HAVING count(*) <= 6),
+pp AS (SELECT p.id, p.k FROM posting p JOIN ok USING (k)),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id
+  FROM pp a JOIN pp b ON a.k = b.k AND a.id < b.id
+  GROUP BY a.id, b.id
+  HAVING count(*) >= 3
+)
+SELECT a_id, b_id FROM pairs
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3329,6 +3757,7 @@ QUERIES = {
     "dedup_decisions": (q_dedup_decisions, SQL_DEDUP_DECISIONS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "er_incremental": (q_er_incremental, SQL_ER_INCREMENTAL),
+    "er_strict_retraction": (q_er_strict_retraction, SQL_ER_STRICT_RETRACTION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
     "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),
@@ -3347,6 +3776,7 @@ QUERIES = {
     "fs_match_scores": (q_fs_match_scores, SQL_FS_MATCH_SCORES),
     "fs_em_posteriors": (q_fs_em_posteriors, None),
     "er_fs_f1": (q_er_fs_f1, None),
+    "fs_pipeline_f1": (q_fs_pipeline_f1, SQL_FS_PIPELINE_F1),
     "blocking_quality": (q_blocking_quality, SQL_BLOCKING_QUALITY),
     "metablocking_pairs": (q_metablocking_pairs, SQL_METABLOCKING_PAIRS),
     "url_dedup_groups": (q_url_dedup_groups, SQL_URL_DEDUP_GROUPS),
@@ -3369,9 +3799,9 @@ QUERIES = {
     "ivf_recall_report": (q_ivf_recall_report, None),
     "ivf_topk": (q_ivf_topk, None),
     "frame_sample": (q_frame_sample, SQL_FRAME_SAMPLE),
-    "linkage_f1": (q_linkage_f1, None),
-    "alignment_f1": (q_alignment_f1, None),
-    "alignment_hits": (q_alignment_hits, None),
+    "linkage_f1": (q_linkage_f1, SQL_LINKAGE_F1),
+    "alignment_f1": (q_alignment_f1, SQL_ALIGNMENT_F1),
+    "alignment_hits": (q_alignment_hits, SQL_ALIGNMENT_HITS),
     "linkage_f1_lsh": (q_linkage_f1_lsh, None),
     "linkage_f1_lsh_scale": (q_linkage_f1_lsh_scale, None),
 }

@@ -47,6 +47,7 @@ __all__ = [
     "build_blocking_index",
     "incremental_blocking_pairs",
     "update_blocking_index",
+    "crossed_cap_retractions",
     "blocking_quality",
     "metablocking_pairs",
 ]
@@ -899,6 +900,88 @@ def update_blocking_index(
         .join(stats2.filter(F.col("df") <= int(df_cap)).select("k"), "k")
     )
     return posting2.select("k", "id"), stats2
+
+
+def crossed_cap_retractions(
+    posting: DataFrame,
+    stats: DataFrame,
+    batch_df: DataFrame,
+    keys: F.Column,
+    id_col: str = "doc_id",
+    df_cap: int = 64,
+    min_cbs: int = 2,
+) -> DataFrame:
+    """Opt-in STRICT mode for incremental blocking: the (a_id, b_id)
+    pairs a consumer must RETRACT so that
+        (union of all emitted incremental pairs) MINUS (union of all
+        retractions) == a full re-block of the combined corpus
+    holds exactly — even when keys cross the df cap between versions.
+
+    The default incremental semantic is monotone (keep-old-pairs:
+    clusters merge, never split — see incremental_blocking_pairs). A
+    key that crosses the cap at this version stops supporting pairs in
+    a full re-run, so pairs whose remaining under-cap support falls
+    below ``min_cbs`` would differ. This function computes exactly
+    those pairs, BEFORE folding the batch into the state:
+
+      crossed  = keys with old total df <= cap but old + batch df > cap
+      affected = all id pairs inside each crossed key's posting list
+                 (bounded by df_cap^2/2 per crossed key — never a scan)
+      retract  = affected pairs whose shared-key count in the UPDATED
+                 capped posting table drops below min_cbs
+
+    Correctness: support only shrinks over versions (df grows, caps
+    exclude monotonically). A pair in the final full re-run keeps
+    support >= min_cbs at every version, so it is never retracted; a
+    pair whose final support < min_cbs loses it exactly at a version
+    where one of its keys crosses — it lands in that version's affected
+    set and is retracted there. Retracting a never-emitted pair is a
+    set-difference no-op. Proven against a from-scratch re-block in
+    tests/test_er_incremental.py.
+    """
+    bp = batch_df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(keys)).alias("k")
+    ).distinct()
+    bs = bp.groupBy("k").agg(F.count("*").alias("_df_b"))
+    merged = stats.select("k", "df").join(bs, "k", "full_outer").select(
+        "k",
+        F.coalesce(F.col("df"), F.lit(0)).alias("_df_old"),
+        (
+            F.coalesce(F.col("df"), F.lit(0))
+            + F.coalesce(F.col("_df_b"), F.lit(0))
+        ).alias("_df_new"),
+    )
+    crossed = merged.filter(
+        (F.col("_df_old") <= int(df_cap)) & (F.col("_df_new") > int(df_cap))
+    ).select("k")
+    dying = posting.select("k", "id").join(crossed, "k")
+    a = dying.select("k", F.col("id").alias("a_id"))
+    b = dying.select("k", F.col("id").alias("b_id"))
+    affected = (
+        a.join(b, "k")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    # UPDATED capped posting table (same fold as update_blocking_index)
+    posting2 = (
+        posting.select("k", "id")
+        .unionByName(bp.select("k", "id"))
+        .join(merged.filter(F.col("_df_new") <= int(df_cap)).select("k"), "k")
+    )
+    pa = posting2.select("k", F.col("id").alias("a_id"))
+    pb = posting2.select("k", F.col("id").alias("b_id"))
+    support = (
+        affected.join(pa, "a_id")
+        .join(pb, ["k", "b_id"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("_cbs"))
+    )
+    return (
+        affected.join(support, ["a_id", "b_id"], "left")
+        .filter(F.coalesce(F.col("_cbs"), F.lit(0)) < int(min_cbs))
+        .select("a_id", "b_id")
+    )
 
 
 # -------------------------------------------------------- meta-blocking

@@ -140,6 +140,13 @@ def derive_embeddings(
     matches the previous per-dim-independent-hash formula: a one-token
     edit moves the vector by O(1/sqrt(L)).
 
+    EXACTNESS: the per-token numerators are summed as INT64 and divided
+    by 1000 once at the end, so every vector component is a correctly
+    rounded f64 of an exact integer ratio — bit-identical regardless of
+    token order, partitioning, batch boundaries, or engine. This is
+    what lets the linkage/alignment DuckDB oracles rebuild the very
+    same embeddings in SQL (driver_queries._derived_emb_sql).
+
     Implementation is an Arrow-vectorized kernel (mapInPandas): each
     distinct token in a batch is hashed once, then all (token, dim)
     values come from one numpy broadcast and per-row sums from one
@@ -187,13 +194,12 @@ def derive_embeddings(
             )
             h1 = (flat % 2003)[:, None]
             h2 = (flat % 1999)[:, None]
-            vals = (
-                ((h1 * a[None, :] + h2 * b[None, :] + c[None, :]) % 2001)
-                - 1000
-            ).astype(np.float64) / 1000.0
+            # INT64 numerators, one divide at the end (see docstring:
+            # exact integer sums make the vector order/engine-invariant)
+            vals = ((h1 * a[None, :] + h2 * b[None, :] + c[None, :]) % 2001) - 1000
             starts = np.zeros(len(lens), dtype=np.int64)
             np.cumsum(lens[:-1], out=starts[1:])
-            sums = np.add.reduceat(vals, starts, axis=0)
+            sums = np.add.reduceat(vals, starts, axis=0) / 1000.0
             sums[lens == 0] = 0.0  # reduceat on an empty slice is bogus
             yield pd.DataFrame(
                 {

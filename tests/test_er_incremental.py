@@ -184,3 +184,107 @@ def test_raw_delta_reconstruction_equals_full_build(spark):
     assert {(r.k, r.df) for r in stats.collect()} == {
         (r.k, r.df) for r in full_stats.collect()
     }
+
+
+def test_crossed_cap_retractions_hand_case(spark):
+    """Deliberate cap crossing: key A (docs 1,2,3) crosses when doc 4
+    arrives (df_cap=3); pairs supported only via A (+ one other key)
+    drop below min_cbs=2 and must be retracted — strict chain equals
+    the from-scratch re-block (empty here)."""
+    keys = F.col("karr")
+    corpus = spark.createDataFrame(
+        [(1, ["A", "B"]), (2, ["A", "B", "C"]), (3, ["A", "C"])],
+        "doc_id bigint, karr array<string>",
+    )
+    batch = spark.createDataFrame(
+        [(4, ["A", "Z1", "Z2"])], "doc_id bigint, karr array<string>"
+    )
+    posting, stats = ER.build_blocking_index(corpus, keys, df_cap=3)
+    base = {
+        (r.a_id, r.b_id)
+        for r in ER.metablocking_pairs(
+            corpus, keys, df_cap=3, min_cbs=2, top_n=None
+        ).collect()
+    }
+    assert base == {(1, 2), (2, 3)}
+    retr = {
+        (r.a_id, r.b_id)
+        for r in ER.crossed_cap_retractions(
+            posting, stats, batch, keys, df_cap=3, min_cbs=2
+        ).collect()
+    }
+    # retractions may include never-emitted affected pairs like (1, 3)
+    # (cbs 1 < min_cbs at base too) — a documented set-difference no-op
+    assert {(1, 2), (2, 3)} <= retr <= {(1, 2), (2, 3), (1, 3)}
+    inc = ER.incremental_blocking_pairs(
+        batch, keys, posting, stats, df_cap=3, min_cbs=2
+    )
+    assert inc.count() == 0
+    full = ER.metablocking_pairs(
+        corpus.unionByName(batch), keys, df_cap=3, min_cbs=2, top_n=None
+    )
+    assert (base | set()) - retr == {
+        (r.a_id, r.b_id) for r in full.collect()
+    } == set()
+
+
+def test_strict_chain_equals_full_reblock_randomized(spark):
+    """Property: over a random multi-batch chain with heavy cap
+    crossings, (all emitted pairs) MINUS (all retractions) == the
+    from-scratch re-block of the final corpus (min_cbs respected,
+    top_n=None). This is the strict mode's full-re-run equality."""
+    import random
+
+    rng = random.Random(17)
+    alphabet = [f"K{i}" for i in range(10)]
+    cap, m = 4, 2
+
+    def mkdocs(ids):
+        return spark.createDataFrame(
+            [(i, sorted(rng.sample(alphabet, 3))) for i in ids],
+            "doc_id bigint, karr array<string>",
+        )
+
+    keys = F.col("karr")
+    corpus = mkdocs(range(8)).localCheckpoint()
+    batches = [mkdocs(range(8 + 4 * b, 12 + 4 * b)).localCheckpoint()
+               for b in range(3)]
+
+    posting, stats = ER.build_blocking_index(corpus, keys, df_cap=cap)
+    emitted = {
+        (r.a_id, r.b_id)
+        for r in ER.metablocking_pairs(
+            corpus, keys, df_cap=cap, min_cbs=m, top_n=None
+        ).collect()
+    }
+    retracted = set()
+    union = corpus
+    for batch in batches:
+        retracted |= {
+            (r.a_id, r.b_id)
+            for r in ER.crossed_cap_retractions(
+                posting, stats, batch, keys, df_cap=cap, min_cbs=m
+            ).collect()
+        }
+        emitted |= {
+            (r.a_id, r.b_id)
+            for r in ER.incremental_blocking_pairs(
+                batch, keys, posting, stats, df_cap=cap, min_cbs=m
+            ).collect()
+        }
+        posting, stats = ER.update_blocking_index(
+            posting, stats, batch, keys, df_cap=cap
+        )
+        posting = posting.localCheckpoint()
+        stats = stats.localCheckpoint()
+        union = union.unionByName(batch)
+
+    full = {
+        (r.a_id, r.b_id)
+        for r in ER.metablocking_pairs(
+            union, keys, df_cap=cap, min_cbs=m, top_n=None
+        ).collect()
+    }
+    # sanity: the fixture really exercises crossings and retractions
+    assert retracted, "fixture produced no cap crossings"
+    assert emitted - retracted == full

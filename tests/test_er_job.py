@@ -130,3 +130,81 @@ def test_er_job_increment_chain(spark, tmp_path):
     # one survivor per entity, survivor = min id (matches the base rule)
     assert final.filter("is_survivor").count() == 440
     assert final.filter("is_survivor and id != keep_id").count() == 0
+
+
+def test_er_job_stream_equals_batch_increments(spark, tmp_path):
+    """--stream-input drives the SAME increment core per micro-batch:
+    the final state/decisions equal the chained --increment runs, and a
+    re-delivered batch (id collision with the state) is a no-op — the
+    at-least-once safety argument, exercised directly."""
+    import contextlib
+    import importlib
+    import io
+
+    from kiez_spark import synth
+    from kiez_spark.operators import evaluate as EV
+
+    mod = importlib.import_module("jobs.run_er")
+    files = synth.repos_files(spark, n=800)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    base_p = str(tmp_path / "sbase")
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    docs.filter(F.col("doc_id") % 4 != 3).write.parquet(base_p)
+    # two stream files = two micro-batches (maxFilesPerTrigger=1)
+    docs.filter((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < 400)).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "f1"))
+    docs.filter((F.col("doc_id") % 4 == 3) & (F.col("doc_id") >= 400)).coalesce(
+        1
+    ).write.parquet(str(tmp_path / "f2"))
+    import glob
+    import shutil
+
+    for i, src in enumerate(
+        sorted(glob.glob(str(tmp_path / "f1" / "*.parquet")))
+        + sorted(glob.glob(str(tmp_path / "f2" / "*.parquet")))
+    ):
+        shutil.copy(src, stream_dir / f"batch_{i}.parquet")
+
+    state = str(tmp_path / "sstate")
+
+    def run(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = mod.main(argv)
+        assert rc == 0
+        return [json.loads(line) for line in buf.getvalue().strip().splitlines()]
+
+    run(["--input", base_p, "--output", str(tmp_path / "so0"),
+         "--state-dir", state, "--top-n", "0"])
+
+    out = str(tmp_path / "so_stream")
+    reps = run(["--stream-input", str(stream_dir), "--output", out,
+                "--state-dir", state,
+                "--checkpoint-dir", str(tmp_path / "s_ck")])
+    assert reps[-1] == {"mode": "stream", "epochs": 2}
+    epochs = [r for r in reps if r.get("mode") == "increment"]
+    assert len(epochs) == 2
+    assert all(r["sha_violations"] == 0 for r in epochs)
+    assert epochs[-1]["clusters"] == 440  # same as the batch chain
+
+    # final decisions (last epoch output) recover the planted clustering
+    final = spark.read.parquet(f"{out}/epoch={epochs[-1]['epoch']}")
+    f1 = EV.pairwise_f1(
+        EV.clusters_to_pairs(final.select("id", "component")),
+        synth.gold_pairs(files),
+        pred_cols=("u", "v"),
+    ).collect()[0]
+    assert (f1.tp, f1.fp, f1.fn) == (720, 0, 0)
+
+    # replay safety: re-deliver batch 1 through the plain increment core
+    # — every id already lives in the state, so it must be a no-op
+    rep = run(["--increment", "--input", str(tmp_path / "f1"),
+               "--output", str(tmp_path / "so_replay"),
+               "--state-dir", state])[-1]
+    assert rep["batch_docs_new"] == 0
+    assert rep["matched_pairs"] == 0
+    assert rep["clusters"] == 440  # unchanged
