@@ -499,6 +499,75 @@ FROM fwd WHERE r <= {TOP_K}
 """
 
 
+def _mahalanobis_vi(dim: int = 64):
+    """Deterministic SPD inverse-covariance literal for the mahalanobis
+    oracle: tridiagonal, diagonally dominant (diag 1 + (i mod 5)/5,
+    off-diag 0.1) — no data-dependent estimation step to diverge on."""
+    vi = [[0.0] * dim for _ in range(dim)]
+    for i in range(dim):
+        vi[i][i] = 1.0 + (i % 5) * 0.2
+        if i + 1 < dim:
+            vi[i][i + 1] = vi[i + 1][i] = 0.1
+    return vi
+
+
+def q_knn_mahalanobis(spark, sf_dir):
+    """Mahalanobis (sklearn metric_params={'VI': ...}) through the
+    pandas kernel — the last member of the reference sklearn exact
+    tier's metric surface (sklearn_nearest_neighbors.py:49-101). The
+    engine folds it to euclidean over x @ cholesky(VI) (one Arrow GEMM
+    per batch, knn.matvec_transform); the oracle applies the identical
+    literal Cholesky factor in long form, so the remaining cross-engine
+    hazard is the euclidean summation order absorbed by 6-dp."""
+    emb = _emb(spark, sf_dir)
+    nn = K.knn_join_pandas(
+        emb, emb, TOP_K, "mahalanobis", exclude_self=True,
+        metric_params={"VI": _mahalanobis_vi()},
+    )
+    return nn.select(
+        "query_id", "cand_id", F.col("rank"), F.round("dist", 6).alias("dist")
+    )
+
+
+def _sql_knn_mahalanobis() -> str:
+    import numpy as np
+
+    L = np.linalg.cholesky(np.asarray(_mahalanobis_vi(), dtype=np.float64))
+    rows = []
+    for i in range(L.shape[0]):
+        for j in range(L.shape[1]):
+            if L[i, j] != 0.0:
+                # 1-based i to match generate_subscripts; repr() is an
+                # exact f64 round-trip, so both engines multiply by the
+                # bit-identical factor
+                rows.append(f"({i + 1}, {j}, {L[i, j]!r})")
+    vals = ", ".join(rows)
+    return f"""
+WITH {_V_SQL},
+vex AS (
+  SELECT id, unnest(vec) AS val, generate_subscripts(vec, 1) AS pos FROM v
+),
+tmat (i, j, m) AS (VALUES {vals}),
+temb AS (
+  SELECT vex.id, t.j AS pos, sum(vex.val * t.m) AS val
+  FROM vex JOIN tmat t ON vex.pos = t.i
+  GROUP BY vex.id, t.j
+),
+pairs AS (
+  SELECT a.id AS qid, b.id AS cid,
+         sqrt(sum((a.val - b.val) * (a.val - b.val))) AS d
+  FROM temb a JOIN temb b ON a.pos = b.pos AND a.id <> b.id
+  GROUP BY a.id, b.id
+),
+fwd AS (
+  SELECT qid, cid, d, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS r
+  FROM pairs
+)
+SELECT qid AS query_id, cid AS cand_id, r::INT AS rank, round(d, 6) AS dist
+FROM fwd WHERE r <= {TOP_K}
+"""
+
+
 def _q_knn_boolean(metric: str):
     def fn(spark, sf_dir):
         emb = _emb(spark, sf_dir).select(
@@ -3724,6 +3793,7 @@ QUERIES = {
     "knn_exact_seuclidean": (q_knn_seuclidean, SQL_KNN_SEUCLIDEAN),
     "knn_exact_jaccard": (_q_knn_boolean("jaccard"), _sql_knn_boolean("jaccard")),
     "knn_exact_dice": (_q_knn_boolean("dice"), _sql_knn_boolean("dice")),
+    "knn_exact_mahalanobis": (q_knn_mahalanobis, _sql_knn_mahalanobis()),
     "salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "hubness_csls": (_hubness_query("csls"), SQL_HUBNESS_CSLS),
     "hubness_csls_dual": (q_hubness_csls_dual, SQL_HUBNESS_CSLS_DUAL),

@@ -102,7 +102,7 @@ def knn_join_expr(
     (1/sqrt(V)) and the metric folds to euclidean — cheaper than a
     per-pair weighted expression.
     """
-    queries, index, metric = _apply_seuclidean(
+    queries, index, metric = apply_metric_rewrites(
         queries, index, metric, metric_params, vec_col
     )
     q = _prep(queries, id_col, vec_col, block_col).alias("q")
@@ -227,9 +227,60 @@ def seuclidean_scale(df: DataFrame, vec_col: str, V) -> DataFrame:
     )
 
 
-def _apply_seuclidean(queries, index, metric, metric_params, vec_col):
-    """Shared seuclidean input rewrite for the join tiers: returns
-    (queries, index, metric) with metric folded to euclidean."""
+def mahalanobis_chol(VI) -> np.ndarray:
+    """Cholesky factor L of the inverse covariance VI (must be SPD —
+    sklearn's metric_params={'VI': ...} contract): mahalanobis(a, b) =
+    sqrt((a-b)' VI (a-b)) = euclidean(a @ L, b @ L)."""
+    return np.linalg.cholesky(np.asarray(VI, dtype=np.float64))
+
+
+def matvec_transform(df: DataFrame, vec_col: str, mat: np.ndarray) -> DataFrame:
+    """Rewrite ``vec_col`` to vec @ mat via an Arrow-batched GEMM
+    (mapInPandas) — the mahalanobis input fold. A column-expression
+    matvec would be a d^2-node Catalyst tree (4096 nodes at d=64, the
+    codegen blowup documented at functions/vectors.correlation); one
+    vectorized kernel per batch keeps the plan a single node and the
+    math in BLAS."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    m = np.asarray(mat, dtype=np.float64)
+    schema = StructType(
+        [
+            StructField(f.name, ArrayType(DoubleType()), f.nullable)
+            if f.name == vec_col
+            else f
+            for f in df.schema.fields
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf[vec_col] = list(x @ m)
+            yield pdf
+
+    return df.mapInPandas(kern, schema)
+
+
+def apply_metric_rewrites(queries, index, metric, metric_params, vec_col):
+    """Shared parameterized-metric input rewrites for the join tiers:
+    returns (queries, index, metric) with the metric folded to plain
+    euclidean. seuclidean scales by 1/sqrt(V); mahalanobis multiplies
+    by the Cholesky factor of VI (see mahalanobis_chol)."""
+    if metric == "mahalanobis":
+        VI = (metric_params or {}).get("VI")
+        if VI is None:
+            raise ValueError(
+                "metric='mahalanobis' requires metric_params={'VI':"
+                " inverse covariance matrix}"
+            )
+        L = mahalanobis_chol(VI)
+        queries = matvec_transform(queries, vec_col, L)
+        if index is not None:
+            index = matvec_transform(index, vec_col, L)
+        return queries, index, "euclidean"
     if metric != "seuclidean":
         return queries, index, metric
     V = (metric_params or {}).get("V")
@@ -999,6 +1050,27 @@ def knn_join_pandas(
     """
     import uuid
 
+    if metric == "mahalanobis":
+        VI = (metric_params or {}).get("VI")
+        if VI is None:
+            raise ValueError(
+                "metric='mahalanobis' requires metric_params={'VI':"
+                " inverse covariance matrix}"
+            )
+        if index_bc is not None:
+            raise ValueError(
+                "metric='mahalanobis' with a pre-broadcast index:"
+                " transform the index with xm @ mahalanobis_chol(VI)"
+                " yourself and pass metric='euclidean'"
+            )
+        L = mahalanobis_chol(VI)
+        queries = matvec_transform(queries, vec_col, L)
+        if index is not None:
+            index = matvec_transform(index, vec_col, L)
+        if index_np is not None:
+            ids_, xm_ = index_np
+            index_np = (ids_, xm_.astype(np.float64) @ L)
+        metric = "euclidean"
     if metric == "seuclidean":
         V = (metric_params or {}).get("V")
         if V is None:
@@ -1077,7 +1149,7 @@ def knn_join_blocked(
     skew-join split plus salted keys (operators/skew.py) keep hot blocks
     from serializing the stage.
     """
-    queries, index, metric = _apply_seuclidean(
+    queries, index, metric = apply_metric_rewrites(
         queries, index, metric, metric_params, vec_col
     )
     q = _prep(queries, id_col, vec_col, block_col)

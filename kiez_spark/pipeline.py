@@ -100,6 +100,13 @@ class PipelineConfig:
                 "metric='seuclidean' requires metric_params={'V': [per-dim"
                 " variances]} (the sklearn contract)"
             )
+        if self.metric == "mahalanobis" and not (
+            self.metric_params and "VI" in self.metric_params
+        ):
+            raise ValueError(
+                "metric='mahalanobis' requires metric_params={'VI': inverse"
+                " covariance matrix} (the sklearn contract)"
+            )
         if self.hubness == "dsl" and self.metric not in (
             "euclidean",
             "minkowski",
@@ -138,11 +145,10 @@ class HubnessKnn:
         # before rewriting — identity against self.source_/target_.
         metric = c.metric
         orig_index = index
-        if metric == "seuclidean":
-            V = c.metric_params["V"]
-            queries = K.seuclidean_scale(queries, c.vec_col, V)
-            index = K.seuclidean_scale(index, c.vec_col, V)
-            metric = "euclidean"
+        if metric in ("seuclidean", "mahalanobis"):
+            queries, index, metric = K.apply_metric_rewrites(
+                queries, index, metric, c.metric_params, c.vec_col
+            )
         if c.tier == "expr":
             return K.knn_join_expr(
                 queries, index, k, metric,

@@ -269,3 +269,41 @@ def test_pipeline_seuclidean_pandas_tier(spark, source_df, target_df, source_tar
     for key, (cid, dist) in exp.items():
         gcid, gdist = got[key]
         assert gcid == cid and gdist == pytest.approx(dist, rel=1e-12), key
+
+
+def test_mahalanobis_cross_tier_and_formula(spark, source_target, source_df, target_df):
+    """Mahalanobis with a literal SPD inverse covariance: the Cholesky
+    input fold makes expr == pandas on indices (f64-tolerance dists),
+    both matching the direct (a-b)' VI (a-b) quadratic form."""
+    src, tgt = source_target
+    d = src.shape[1]
+    vi = np.eye(d)
+    for i in range(d):
+        vi[i, i] = 1.0 + (i % 3) * 0.5
+        if i + 1 < d:
+            vi[i, i + 1] = vi[i + 1, i] = 0.2
+    mp = {"VI": vi.tolist()}
+    exp = _collect_nn(
+        K.knn_join_expr(source_df, target_df, 5, "mahalanobis", metric_params=mp)
+    )
+    got = _collect_nn(
+        K.knn_join_pandas(source_df, target_df, 5, "mahalanobis", metric_params=mp)
+    )
+    assert set(got) == set(exp)
+    for key, (cid, dist) in exp.items():
+        gcid, gdist = got[key]
+        assert gcid == cid, key
+        assert gdist == pytest.approx(dist, rel=1e-9), key
+        qi = key[0]
+        diff = src[qi] - tgt[cid]
+        want = float(np.sqrt(diff @ vi @ diff))
+        assert gdist == pytest.approx(want, rel=1e-9), key
+
+
+def test_mahalanobis_requires_VI(spark, source_df, target_df):
+    from kiez_spark.pipeline import PipelineConfig
+
+    with pytest.raises(ValueError, match="mahalanobis"):
+        K.knn_join_pandas(source_df, target_df, 5, "mahalanobis")
+    with pytest.raises(ValueError, match="mahalanobis"):
+        PipelineConfig(metric="mahalanobis")
