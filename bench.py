@@ -542,23 +542,39 @@ def main():
     # so weather hits both sides alike). Disable: SPARK_GRAFT_JW=0.
     if scaling is not None and os.environ.get("SPARK_GRAFT_JW", "1") != "0":
         jw_cores = int(os.environ.get("SPARK_GRAFT_JW_CORES", "16"))
-        t_jw_pre, n_jw, n_jw_surv = timed_jw(jw_cores, True)
-        t_jw_raw, _, _ = timed_jw(jw_cores, False)
+        jw_reps = int(os.environ.get("SPARK_GRAFT_JW_REPS", "2"))
+        # INTERLEAVED (pre, raw, pre, raw) with min per mode — the same
+        # steady-state estimator as every scaling pair: a single-shot
+        # A/B on this host swings +-10% with weather, comparable to the
+        # effect being measured. Fixed rep count, no optional stopping.
+        jw_pre_walls, jw_raw_walls = [], []
+        n_jw = n_jw_surv = None
+        for _ in range(max(1, jw_reps)):
+            t_p, n_jw, s_ = timed_jw(jw_cores, True)
+            n_jw_surv = s_ if s_ is not None else n_jw_surv
+            t_r, _, _ = timed_jw(jw_cores, False)
+            jw_pre_walls.append(round(t_p, 3))
+            jw_raw_walls.append(round(t_r, 3))
+        t_jw_pre, t_jw_raw = min(jw_pre_walls), min(jw_raw_walls)
         scaling["jw_leg"] = {
             "cores": jw_cores,
             "pairs_blocked": n_jw,
             "pairs_python_scored": n_jw_surv,
             "pruned_frac": round(1.0 - n_jw_surv / n_jw, 3),
-            "wall_prefilter_sec": round(t_jw_pre, 3),
-            "wall_noprefilter_sec": round(t_jw_raw, 3),
+            "wall_prefilter_sec": t_jw_pre,
+            "wall_noprefilter_sec": t_jw_raw,
+            "walls_prefilter_sec": jw_pre_walls,
+            "walls_noprefilter_sec": jw_raw_walls,
             "pairs_per_sec_prefilter": round(n_jw / t_jw_pre),
             "pairs_per_sec_noprefilter": round(n_jw / t_jw_raw),
             "speedup": round(t_jw_raw / t_jw_pre, 3),
         }
         print(
-            f"  jw leg (local[{jw_cores}], {n_jw} blocked pairs):"
+            f"  jw leg (local[{jw_cores}], {n_jw} blocked pairs,"
+            f" {scaling['jw_leg']['pruned_frac']:.0%} pruned):"
             f" prefilter {t_jw_pre:.1f}s vs raw {t_jw_raw:.1f}s"
-            f" (speedup {t_jw_raw / t_jw_pre:.2f}x)",
+            f" (speedup {t_jw_raw / t_jw_pre:.2f}x,"
+            f" min of {jw_pre_walls} vs {jw_raw_walls})",
             file=sys.stderr,
         )
 
