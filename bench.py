@@ -301,12 +301,14 @@ def ensure_jw_dataset():
         spark.stop()
 
 
-def timed_jw(cores: int, prefilter: bool) -> tuple[float, int]:
+def timed_jw(cores: int, prefilter: bool) -> tuple[float, int, int]:
     """One Jaro-Winkler comparator measurement: blocked candidate pairs
     scored by the exact pandas JW kernel, with or without the codegen
     upper-bound prefilter (er.jaro_winkler_pairs). Returns (wall, pairs
-    BLOCKED) — the denominator is the same candidate-pair count either
-    way, so pairs/sec directly shows what the prefilter buys."""
+    BLOCKED, pairs surviving the threshold) — the blocked count is the
+    pairs/sec denominator either way (so the ratio directly shows what
+    the prefilter buys); the survivor count is a cross-variant equality
+    check (prefilter must be non-lossy)."""
     from pyspark.sql import functions as F
 
     from kiez_spark.operators import er as ER

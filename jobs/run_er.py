@@ -180,7 +180,11 @@ def _write_state_delta(state_dir, ver, docs, posting_raw, stats, assign,
             os.path.join(state_dir, name, f"ver={ver}")
         )
     pf = os.path.join(state_dir, "params.json")
-    if not os.path.exists(pf):
+    # Rewrite params.json on every BASE write (ver == base): a base re-run
+    # into an existing --state-dir must refresh the frozen params, not keep
+    # stale ones beside a rebuilt base state. Increments (ver > base) never
+    # touch them.
+    if ver == base or not os.path.exists(pf):
         with open(pf, "w") as fh:
             json.dump(params, fh)
     _write_version(state_dir, ver, base)

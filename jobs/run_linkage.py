@@ -56,6 +56,17 @@ except ModuleNotFoundError:  # pragma: no cover
 # runs stay on the stage-checkpointed batch path above.
 # State layout/versioning is identical to jobs/run_er.py (ver=N dirs +
 # one atomic VERSION rename).
+#
+# SURVIVOR RULE DIFFERS BY MODE (deliberate, documented): state/
+# increment/stream modes elect keep_id = min(id) per component
+# (_min_id_survivors) — a LOCAL rule, stable under increments (a
+# cluster's survivor only changes when a lower id joins it). The batch
+# --write-decisions path elects by quality_features score (ties ->
+# min id), which needs the document TEXT — not part of the persisted
+# embedding state, and not increment-stable (a later batch's higher-
+# quality doc would retroactively flip old decisions). Consumers
+# migrating from batch decisions to the state loop must expect keep_id
+# to change from best-quality to lowest-id for the same clusters.
 # ---------------------------------------------------------------------
 
 try:  # repo-root import (tests, python -m); same VERSION-file contract
@@ -66,6 +77,9 @@ except ModuleNotFoundError:  # pragma: no cover — bare spark-submit jobs/
 
 
 def _min_id_survivors(assign):
+    """State-mode survivor rule: keep_id = min(id) per component — see
+    the SURVIVOR RULE note above for why this differs from the batch
+    --write-decisions quality-score election."""
     from pyspark.sql import functions as F
 
     keep = assign.groupBy("component").agg(F.min("id").alias("keep_id"))
@@ -103,7 +117,12 @@ def _write_link_state(state_dir, ver, emb, sig, assign, params, base=1):
             os.path.join(state_dir, name, f"ver={ver}")
         )
     pf = os.path.join(state_dir, "params.json")
-    if not os.path.exists(pf):
+    # Rewrite params.json on every BASE write (ver == base): a base re-run
+    # into an existing --state-dir must not keep stale frozen params while
+    # overwriting the ver=1 state built with new ones (increments would
+    # then sign/gate in a different LSH space than the state — silently).
+    # Increment writes (ver > base) never touch the frozen params.
+    if ver == base or not os.path.exists(pf):
         with open(pf, "w") as fh:
             json.dump(params, fh)
     _write_version(state_dir, ver, base)

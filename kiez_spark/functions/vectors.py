@@ -145,6 +145,21 @@ def braycurtis(a: Column, b: Column) -> Column:
     return num / F.greatest(den, F.lit(1e-300))
 
 
+def _bool_mismatch(a: Column, b: Column) -> Column:
+    """CTF + CFT over binarized vectors (x != 0 as True) — the shared
+    numerator of jaccard() and dice(). One definition so a future change
+    to the binarization convention cannot make the two metrics silently
+    diverge. Integer-valued in f64, hence bit-exact across engines."""
+    return F.aggregate(
+        F.zip_with(
+            a, b,
+            lambda x, y: F.when((x != 0.0) == (y != 0.0), 0.0).otherwise(1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Boolean Jaccard dissimilarity (sklearn/scipy convention over
     binarized vectors, x != 0 as True; the reference's sklearn exact
@@ -157,14 +172,7 @@ def jaccard(a: Column, b: Column) -> Column:
     (den 0, num 0) is floored like braycurtis — 0/1e-300 = 0.0, the
     'identical empty sets' convention, identical in every tier and the
     SQL oracle."""
-    num = F.aggregate(
-        F.zip_with(
-            a, b,
-            lambda x, y: F.when((x != 0.0) == (y != 0.0), 0.0).otherwise(1.0),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    num = _bool_mismatch(a, b)
     den = F.aggregate(
         F.zip_with(
             a, b,
@@ -183,14 +191,7 @@ def dice(a: Column, b: Column) -> Column:
     exactly how the numpy kernels compute it — integer counts, one
     correctly rounded divide, bit-exact across engines; 0-denominator
     floored to 1e-300 like braycurtis/jaccard."""
-    num = F.aggregate(
-        F.zip_with(
-            a, b,
-            lambda x, y: F.when((x != 0.0) == (y != 0.0), 0.0).otherwise(1.0),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    num = _bool_mismatch(a, b)
     den = F.aggregate(
         F.zip_with(
             a, b,

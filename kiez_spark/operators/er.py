@@ -715,19 +715,23 @@ def blocking_quality(
     """One-row blocking audit: candidate count, gold count, recovered
     count, pair-completeness and reduction-ratio in exact micro units.
 
-    cand/gold carry (a_id, b_id) with a_id < b_id (each side distinct
-    pairs). All outputs are BIGINT (ratios via integer 1e6-scaled DIV) —
-    hash-exact across engines, immune to the rounded-double boundary.
+    cand/gold carry (a_id, b_id) with a_id < b_id. Each side is
+    DEDUPED here before joining — the full-outer join counts would
+    otherwise be wrong on duplicate input pairs (a cand pair appearing
+    twice would double the joined gold row, misreporting n_gold), so
+    the distinct is enforced rather than left as a precondition. All
+    outputs are BIGINT (ratios via integer 1e6-scaled DIV) — hash-exact
+    across engines, immune to the rounded-double boundary.
 
     SINGLE-PASS and fully lazy: one full-outer join on the pair key +
     one aggregation counts both sides and the intersection together
     (the previous form ran three separate count jobs, each
     re-traversing the candidate plan — 3x the scan cost on a 100 TB
     candidate set). At scale both sides are already bounded pair sets
-    (never all-pairs).
+    (never all-pairs), and the distinct folds into the join exchange.
     """
-    c = cand.select("a_id", "b_id").withColumn("_c", F.lit(1))
-    g = gold.select("a_id", "b_id").withColumn("_g", F.lit(1))
+    c = cand.select("a_id", "b_id").distinct().withColumn("_c", F.lit(1))
+    g = gold.select("a_id", "b_id").distinct().withColumn("_g", F.lit(1))
     j = c.join(g, ["a_id", "b_id"], "full_outer")
     agg = j.agg(
         F.count("_c").cast("bigint").alias("n_candidates"),

@@ -27,22 +27,34 @@ def hits_at_k(
     across engines can use integer arithmetic instead of rounding the
     double ratio (a 1-ulp cross-engine hazard on boundary corpora).
 
+    Ratio semantics (unchanged from the eager pre-r6 form): n_hits
+    counts SRCS whose best-ranked gold tgt sits within k; n_gold counts
+    gold ROWS. For the reference's dict-shaped (1:1) gold these
+    coincide; a multi-target or duplicate-row gold table keeps the
+    per-row denominator rather than silently collapsing to distinct
+    srcs. PRECONDITION: nn_df has unique (query_id, cand_id) rows —
+    true for every top-k kneighbors output; duplicate neighbor rows
+    would inflate the row count the denominator rides on.
+
     SINGLE-PASS and fully lazy: gold LEFT-joins onto the neighbor table,
     per-src best rank and the per-k conditional sums fold into ONE
-    aggregation (n_gold rides along as count(*)) — no separate
-    gold.count() job, no driver-side .first(); the caller's one action
-    computes everything. An empty gold set yields zero rows per k with
-    hits = 0.0 (the previous eager form raised ZeroDivisionError)."""
+    aggregation (n_gold rides along as a per-src row-count sum) — no
+    separate gold.count() job, no driver-side .first(); the caller's one
+    action computes everything. An empty gold set yields zero rows per k
+    with hits = 0.0 (the previous eager form raised ZeroDivisionError)."""
     j = gold.select("src_id", "tgt_id").join(
         nn_df.select("query_id", "cand_id", "rank"),
         (F.col("src_id") == F.col("query_id"))
         & (F.col("tgt_id") == F.col("cand_id")),
         "left",
     )
-    per_src = j.groupBy("src_id").agg(F.min("rank").alias("best_rank"))
+    per_src = j.groupBy("src_id").agg(
+        F.min("rank").alias("best_rank"),
+        F.count(F.lit(1)).alias("_rows"),
+    )
     sorted_ks = sorted(ks)
     agg = per_src.agg(
-        F.count(F.lit(1)).alias("n_gold"),
+        F.coalesce(F.sum("_rows"), F.lit(0)).alias("n_gold"),
         *[
             F.sum(
                 F.when(F.col("best_rank") <= kk, 1).otherwise(0)

@@ -1050,47 +1050,31 @@ def knn_join_pandas(
     """
     import uuid
 
-    if metric == "mahalanobis":
-        VI = (metric_params or {}).get("VI")
-        if VI is None:
-            raise ValueError(
-                "metric='mahalanobis' requires metric_params={'VI':"
-                " inverse covariance matrix}"
-            )
+    if metric in ("mahalanobis", "seuclidean"):
         if index_bc is not None:
             raise ValueError(
-                "metric='mahalanobis' with a pre-broadcast index:"
-                " transform the index with xm @ mahalanobis_chol(VI)"
-                " yourself and pass metric='euclidean'"
-            )
-        L = mahalanobis_chol(VI)
-        queries = matvec_transform(queries, vec_col, L)
-        if index is not None:
-            index = matvec_transform(index, vec_col, L)
-        if index_np is not None:
-            ids_, xm_ = index_np
-            index_np = (ids_, xm_.astype(np.float64) @ L)
-        metric = "euclidean"
-    if metric == "seuclidean":
-        V = (metric_params or {}).get("V")
-        if V is None:
-            raise ValueError(
-                "metric='seuclidean' requires metric_params={'V': [...]}"
-            )
-        if index_bc is not None:
-            raise ValueError(
-                "metric='seuclidean' with a pre-broadcast index: scale the"
-                " index by 1/sqrt(V) yourself (seuclidean_scale /"
+                f"metric={metric!r} with a pre-broadcast index: transform"
+                " the index yourself (xm @ mahalanobis_chol(VI) /"
                 " xm * 1/sqrt(V)) and pass metric='euclidean'"
             )
-        queries = seuclidean_scale(queries, vec_col, V)
-        if index is not None:
-            index = seuclidean_scale(index, vec_col, V)
+        # ONE source of truth for param validation + the DF-side input
+        # rewrite (shared with knn_join_expr/knn_join_blocked/pipeline);
+        # only the numpy-index fold is unique to this tier. Validation
+        # happens inside apply_metric_rewrites before index_np is touched.
+        orig_metric = metric
+        queries, index, metric = apply_metric_rewrites(
+            queries, index, metric, metric_params, vec_col
+        )
         if index_np is not None:
             ids_, xm_ = index_np
-            s_ = 1.0 / np.sqrt(np.asarray(V, dtype=np.float64))
-            index_np = (ids_, xm_ * s_[None, :])
-        metric = "euclidean"
+            if orig_metric == "mahalanobis":
+                L = mahalanobis_chol(metric_params["VI"])
+                index_np = (ids_, xm_.astype(np.float64) @ L)
+            else:
+                s_ = 1.0 / np.sqrt(
+                    np.asarray(metric_params["V"], dtype=np.float64)
+                )
+                index_np = (ids_, xm_ * s_[None, :])
 
     spark = queries.sparkSession
     if index_bc is None:

@@ -88,6 +88,33 @@ def test_hits_at_k_empty_gold(spark):
     assert [(r.k, r.n_hits, r.n_gold, r.hits) for r in rows] == [(1, 0, 0, 0.0)]
 
 
+def test_hits_at_k_multi_target_gold(spark):
+    """Non-1:1 gold keeps the pre-r6 eager semantics: n_hits counts SRCS
+    with any hit, n_gold counts gold ROWS (the r6 single-pass rewrite
+    briefly collapsed the denominator to distinct srcs — 2/2 here)."""
+    nn = spark.createDataFrame(
+        [(1, 10, 1), (2, 30, 1)], "query_id bigint, cand_id bigint, rank int"
+    )
+    # src 1 has two gold targets (one hit), src 2 one (hit): 2 srcs / 3 rows
+    gold = _pairs(spark, [(1, 10), (1, 11), (2, 30)])
+    rows = {r.k: r for r in E.hits_at_k(nn, gold, ks=(1,)).collect()}
+    assert rows[1].n_hits == 2 and rows[1].n_gold == 3
+    assert rows[1].hits == pytest.approx(2 / 3)
+
+
+def test_blocking_quality_dedups_inputs(spark):
+    """Duplicate input pairs must not skew the full-outer-join counts: a
+    cand pair appearing twice would double the joined gold row
+    (n_gold=2 for 1 actual) without the enforced distinct."""
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 4)], "a_id bigint, b_id bigint"
+    )
+    gold = spark.createDataFrame([(1, 2)], "a_id bigint, b_id bigint")
+    r = ER.blocking_quality(cand, gold, 10).collect()[0]
+    assert (r.n_candidates, r.n_gold, r.n_found) == (2, 1, 1)
+    assert r.pair_completeness_micro == 1000000
+
+
 def test_blocking_quality_lazy_and_exact(spark):
     cand = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4)], "a_id bigint, b_id bigint"
