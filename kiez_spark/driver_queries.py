@@ -2913,6 +2913,77 @@ WHERE jaro_winkler_similarity(a.key, b.key) >= 0.8
 """
 
 
+def q_monge_elkan_pairs(spark, sf_dir):
+    """Symmetric Monge-Elkan over blocked pairs (er.monge_elkan_pairs):
+    token-level best-match JW, all-integer micro arithmetic — the
+    multi-token comparator the whole-string JW row cannot express.
+    threshold 0.55 keeps a non-trivial pass set on the synthetic keys
+    (token JW maxima sit well below whole-string JW on near-dups)."""
+    from kiez_spark.operators import er as ER
+
+    return ER.monge_elkan_pairs(
+        _docs2(spark, sf_dir),
+        block="right(text, 16)",
+        key="substr(text, 1, 24)",
+        threshold=0.55,
+        max_block=64,
+    )
+
+
+# Integer-exact ME replay: per (pair, distinct a-token) take the max of
+# floor(jw * 1e6) over b-tokens (jw doubles bit-identical across
+# engines), then sum(cnt * best) // sum(cnt) per direction and
+# (me_ab + me_ba) // 2 — identical int64 ops to the pandas kernel, no
+# double-summation ordering hazard. Zero-token sides produce no rows
+# and cannot pass a positive threshold (kernel returns 0 there too).
+SQL_MONGE_ELKAN_PAIRS = f"""
+WITH {_DOCS2_SQL},
+{_ER_KEYED_SQL},
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.key AS ka, b.key AS kb
+  FROM keyed a
+  JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  JOIN ok ON a.blk = ok.blk
+),
+atok AS (
+  SELECT a_id, b_id, tok, count(*)::BIGINT AS cnt
+  FROM (SELECT a_id, b_id, unnest(str_split(ka, ' ')) AS tok FROM pairs)
+  WHERE tok <> '' GROUP BY a_id, b_id, tok
+),
+btok AS (
+  SELECT a_id, b_id, tok, count(*)::BIGINT AS cnt
+  FROM (SELECT a_id, b_id, unnest(str_split(kb, ' ')) AS tok FROM pairs)
+  WHERE tok <> '' GROUP BY a_id, b_id, tok
+),
+abbest AS (
+  SELECT at.a_id, at.b_id, at.tok, at.cnt,
+         max(floor(jaro_winkler_similarity(at.tok, bt.tok) * 1e6))::BIGINT
+           AS best
+  FROM atok at JOIN btok bt ON at.a_id = bt.a_id AND at.b_id = bt.b_id
+  GROUP BY at.a_id, at.b_id, at.tok, at.cnt
+),
+babest AS (
+  SELECT bt.a_id, bt.b_id, bt.tok, bt.cnt,
+         max(floor(jaro_winkler_similarity(bt.tok, at.tok) * 1e6))::BIGINT
+           AS best
+  FROM btok bt JOIN atok at ON at.a_id = bt.a_id AND at.b_id = bt.b_id
+  GROUP BY bt.a_id, bt.b_id, bt.tok, bt.cnt
+),
+meab AS (
+  SELECT a_id, b_id, sum(cnt * best) // sum(cnt) AS me_ab
+  FROM abbest GROUP BY a_id, b_id
+),
+meba AS (
+  SELECT a_id, b_id, sum(cnt * best) // sum(cnt) AS me_ba
+  FROM babest GROUP BY a_id, b_id
+)
+SELECT meab.a_id, meab.b_id,
+       ((me_ab + me_ba) // 2)::BIGINT AS me_micro
+FROM meab JOIN meba ON meab.a_id = meba.a_id AND meab.b_id = meba.b_id
+WHERE (me_ab + me_ba) // 2 >= 550000
+"""
+
+
 def _packed_key_sql(key: str) -> str:
     """SQL twin of operators/er._packed_key_expr (7-char packed ASCII,
     per-char least(ascii, 127) clamp — keeps the radix-128 packing sound
@@ -3840,6 +3911,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "lev_blocked_pairs": (q_lev_blocked_pairs, SQL_LEV_BLOCKED_PAIRS),
     "jaro_winkler_pairs": (q_jaro_winkler_pairs, SQL_JARO_WINKLER_PAIRS),
+    "monge_elkan_pairs": (q_monge_elkan_pairs, SQL_MONGE_ELKAN_PAIRS),
     "snm_pairs": (q_snm_pairs, SQL_SNM_PAIRS),
     "tfidf_cosine_pairs": (q_tfidf_cosine_pairs, SQL_TFIDF_COSINE_PAIRS),
     "phonetic_blocks": (q_phonetic_blocks, SQL_PHONETIC_BLOCKS),

@@ -277,6 +277,89 @@ def jaro_winkler_pairs(
     )
 
 
+def monge_elkan_pairs(
+    df: DataFrame,
+    block: str,
+    key: str,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_block: int = 256,
+) -> DataFrame:
+    """(a_id, b_id, me_micro) for blocked pairs with symmetric
+    Monge-Elkan similarity >= ``threshold`` — the standard comparator
+    for MULTI-TOKEN fields (person names, addresses, org names) where
+    whole-string Jaro-Winkler mis-scores token reorderings ("smith
+    john" vs "john smith"): each token of one side is matched to its
+    best-scoring token on the other, then averaged.
+
+    INTEGER-EXACT cross-engine semantics (no double-sum ordering
+    hazard): per token pair, jw_micro = floor(jw * 1e6) rides the
+    bit-identical _jaro_winkler_py <-> DuckDB jaro_winkler_similarity
+    contract (module docstring); then everything is int64 —
+    me_dir = sum(count_occ * max_jw_micro) // n_tokens per direction,
+    me_micro = (me_ab + me_ba) // 2, and the threshold compares
+    me_micro >= floor(threshold * 1e6). Summation order cannot matter
+    in integer space, so the DuckDB oracle replays it exactly.
+
+    Tokenization convention (mirrored in the SQL twin): split on the
+    single space character, drop empty tokens. A side with zero tokens
+    contributes 0 for its direction (consistent with the JW kernel's
+    empty-string -> 0.0 convention).
+
+    100 TB shape: same boundedness as jaro_winkler_pairs — the pandas
+    UDF sees only blocked candidates (<= max_block^2/2 per block,
+    never a corpus cross product); token count per key is field-sized
+    (a few tokens), so per-pair cost is O(n_a * n_b) tiny constants.
+    No JVM prefilter: a non-lossy upper bound over the token
+    max-assignment would need per-token length bands — blocked
+    candidacy is the volume control here."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    thr_micro = int(math.floor(float(threshold) * 1e6 + 1e-9))
+
+    def _me_dir_micro(atoks, btoks):
+        # sum over a-token OCCURRENCES of the best jw_micro vs any
+        # b-token, integer-divided by the occurrence count
+        if not atoks or not btoks:
+            return 0
+        total = 0
+        for t in atoks:
+            best = 0
+            for u in btoks:
+                jm = int(math.floor(_jaro_winkler_py(t, u) * 1e6))
+                if jm > best:
+                    best = jm
+            total += best
+        return total // len(atoks)
+
+    def _me_batch(a, b):
+        out = []
+        for x, y in zip(a, b):
+            at = [t for t in (x or "").split(" ") if t]
+            bt = [t for t in (y or "").split(" ") if t]
+            out.append((_me_dir_micro(at, bt) + _me_dir_micro(bt, at)) // 2)
+        return pd.Series(out, dtype="int64")
+
+    _me_batch.__annotations__ = {
+        "a": pd.Series,
+        "b": pd.Series,
+        "return": pd.Series,
+    }
+    # asNondeterministic: stops Catalyst filter-pushdown from cloning
+    # the Arrow kernel (same ArrowEvalPython-duplication hazard as
+    # jaro_winkler_pairs above)
+    me_udf = F.pandas_udf(_me_batch, LongType()).asNondeterministic()
+
+    pairs = blocked_pairs(df, block, key, id_col, max_block)
+    scored = pairs.withColumn("_me", me_udf("a_key", "b_key"))
+    return scored.filter(F.col("_me") >= F.lit(thr_micro)).select(
+        "a_id", "b_id", F.col("_me").alias("me_micro")
+    )
+
+
 def _packed_key_expr(key: str) -> F.Column:
     """7-char packed-ASCII sort surrogate of SQL expression ``key``:
     sum(min(ascii(char_i), 127) * 128^(7-i)) over the space-right-padded

@@ -98,6 +98,69 @@ def test_jaro_winkler_pairs_flags_mutated_copies(spark, corpus):
         assert 700000 <= r.jw_micro <= 1000000
 
 
+def _me_naive(x, y):
+    """Reference symmetric Monge-Elkan in integer micro space."""
+    import math
+
+    def one_dir(at, bt):
+        if not at or not bt:
+            return 0
+        tot = sum(
+            max(int(math.floor(ER._jaro_winkler_py(t, u) * 1e6)) for u in bt)
+            for t in at
+        )
+        return tot // len(at)
+
+    at = [t for t in x.split(" ") if t]
+    bt = [t for t in y.split(" ") if t]
+    return (one_dir(at, bt) + one_dir(bt, at)) // 2
+
+
+def test_monge_elkan_token_reorder_beats_whole_string_jw(spark):
+    """The motivating case: reordered tokens score 1.0 under ME while
+    whole-string JW sits far below — and the operator's scores equal
+    the naive reference exactly (integer-micro arithmetic)."""
+    rows = [
+        (0, "john smith common-block"),
+        (1, "smith john common-block"),
+        (2, "acme corp inc common-block"),
+        (3, "acme corporation common-block"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.a_id, r.b_id): r.me_micro
+        for r in ER.monge_elkan_pairs(
+            df,
+            block="right(text, 12)",
+            key="substr(text, 1, 18)",
+            threshold=0.5,
+            max_block=16,
+        ).collect()
+    }
+    keys = {r[0]: r[1][:18] for r in [(i, t) for i, t in rows]}
+    assert got[(0, 1)] == _me_naive(keys[0], keys[1]) == 1000000
+    assert got[(2, 3)] == _me_naive(keys[2], keys[3])
+    # whole-string JW on the reordered pair is strictly below ME's 1.0
+    # (the shared block suffix inside the key lifts it to ~0.907)
+    assert ER._jaro_winkler_py(keys[0], keys[1]) < 0.95
+    # every emitted score equals the naive reference and clears threshold
+    for (a, b), v in got.items():
+        assert v == _me_naive(keys[a], keys[b]) >= 500000
+
+
+def test_monge_elkan_empty_and_threshold(spark):
+    rows = [(0, "   x-block"), (1, "abc x-block"), (2, "abd x-block")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = ER.monge_elkan_pairs(
+        df, block="right(text, 7)", key="substr(text, 1, 3)",
+        threshold=0.5, max_block=16,
+    ).collect()
+    pairs = {(r.a_id, r.b_id): r.me_micro for r in got}
+    # doc 0's key is all spaces -> zero tokens -> 0 similarity, filtered
+    assert all(0 not in p for p in pairs)
+    assert pairs[(1, 2)] == _me_naive("abc", "abd")
+
+
 def test_snm_pairs_equal_naive_sorted_window(spark, corpus):
     w = 3
     got = ER.snm_pairs(corpus, key="substr(text, 1, 32)", window=w).collect()
