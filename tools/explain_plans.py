@@ -12,6 +12,7 @@ Usage: python tools/explain_plans.py [--dump]
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -438,6 +439,31 @@ def main() -> int:
         ["HashAggregate"],
         dump,
     )
+
+    # 25/26. pandas-UDF comparators evaluate the Arrow kernel ONCE: the
+    #     asNondeterministic marker must keep Catalyst's filter pushdown
+    #     from cloning the UDF below the projection (2x ArrowEvalPython
+    #     = 2x the python cost of the whole operator — the r6 jw bench
+    #     leg regression). Count physical nodes via their detail-section
+    #     headers "(N) ArrowEvalPython" — a raw substring count reads 2x
+    #     because explain("formatted") prints each node in the tree
+    #     overview AND the detail section.
+    for nm, fn in (
+        ("jaro_winkler_pairs", lambda d: ER.jaro_winkler_pairs(
+            d, block="right(text, 16)", key="substr(text, 1, 24)",
+            threshold=0.8, max_block=64)),
+        ("monge_elkan_pairs", lambda d: ER.monge_elkan_pairs(
+            d, block="right(text, 16)", key="substr(text, 1, 24)",
+            threshold=0.55, max_block=64)),
+    ):
+        p = plan_of(fn(docs.select("doc_id", "text")))
+        n_arrow = len(re.findall(r"\(\d+\) ArrowEvalPython", p))
+        good = n_arrow == 1
+        print(("PASS" if good else f"FAIL ({n_arrow} ArrowEvalPython nodes)")
+              + f" {nm}: single Arrow kernel evaluation")
+        if dump or not good:
+            print(p[:4000])
+        ok &= good
 
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
