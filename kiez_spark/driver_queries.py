@@ -1357,6 +1357,85 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+# Winnowing (MOSS) fingerprints — the DuckDB twin replays the exact
+# Spark expression pipeline with list comprehensions: char k-gram md5
+# hashes of the normalized text, sliding-window minima, distinct. The
+# value-set formulation is tie-rule-independent (see
+# functions/text.py:winnow_minima), so the oracle is exact.
+_WINNOW_K = 8
+_WINNOW_W = 6
+
+_WINNOW_FPS_SQL = f"""
+norm AS (
+  SELECT doc_id,
+         lower(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS t
+  FROM {{src}}
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(t) >= {_WINNOW_K}
+              THEN [ ('0x' || substr(md5(t[i:i+{_WINNOW_K - 1}]), 1, 15))::BIGINT
+                     for i in range(1, length(t) - {_WINNOW_K} + 2) ]
+              ELSE []::BIGINT[] END AS h
+  FROM norm
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(h) = 0 THEN []::BIGINT[]
+              WHEN len(h) < {_WINNOW_W} THEN [list_min(h)]
+              ELSE list_distinct(
+                [ list_min(h[j:j+{_WINNOW_W - 1}])
+                  for j in range(1, len(h) - {_WINNOW_W} + 2) ])
+         END AS f
+  FROM grams
+)
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    return D.winnow_fingerprints(
+        _docs(spark, sf_dir), k=_WINNOW_K, window=_WINNOW_W
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH {_WINNOW_FPS_SQL.format(src='documents')}
+SELECT doc_id, unnest(f) AS fp FROM fps
+"""
+
+
+def q_winnow_pairs(spark, sf_dir):
+    return D.winnow_pairs(
+        _docs2(spark, sf_dir),
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_common=2,
+        min_overlap=0.5,
+        max_doc_freq=10_000_000,
+    )
+
+
+SQL_WINNOW_PAIRS = f"""
+WITH {_DOCS2_SQL},
+{_WINNOW_FPS_SQL.format(src='docs2')},
+posting AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+sized AS (SELECT doc_id, count(*) AS n_fp FROM posting GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+  FROM posting a JOIN posting b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a_id, c.b_id, c.common,
+       round(c.common::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM common c
+JOIN sized sa ON sa.doc_id = c.a_id
+JOIN sized sb ON sb.doc_id = c.b_id
+WHERE c.common >= 2
+  AND c.common::DOUBLE / least(sa.n_fp, sb.n_fp) >= 0.5
+"""
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     return D.simhash_fingerprints(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -3887,6 +3966,8 @@ QUERIES = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

@@ -54,6 +54,62 @@ def token_hash(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
 
 
+def winnow_norm(col: Column) -> Column:
+    """Winnowing text normalization: lowercase + strip ALL whitespace.
+    The standard code-clone canonicalization (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 §2): reformatting and case changes must not perturb the
+    k-gram stream. DuckDB twin:
+    lower(regexp_replace(text, '\\s+', '', 'g'))."""
+    return F.lower(F.regexp_replace(F.coalesce(col, F.lit("")), r"\s+", ""))
+
+
+def char_kgram_hashes(s: Column, k: int) -> Column:
+    """ARRAY<BIGINT> of 60-bit hashes of every character k-gram of ``s``,
+    in document order; empty when len(s) < k. Positional substring keeps
+    the whole stream in whole-stage codegen — one md5 per position, no
+    explode. The F.sequence upper bound is guarded: sequence(1, m) with
+    m < 1 would COUNT DOWN (Spark infers step -1), yielding phantom
+    positions."""
+    m = F.length(s) - F.lit(k) + F.lit(1)
+    return F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: token_hash(F.substring(s, i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def winnow_minima(h: Column, w: int) -> Column:
+    """Distinct window minima of hash stream ``h`` (ARRAY<BIGINT>) over
+    sliding windows of ``w`` — the winnowing fingerprint VALUE set.
+
+    Keeping only distinct VALUES (no positions) makes the classic
+    rightmost-min tie rule irrelevant: every tie rule selects the same
+    minimum value per window, so the value set is tie-rule-independent
+    and exactly SQL-expressible (the DuckDB oracle replays it with a
+    list comprehension). The winnowing guarantee carries over: any
+    shared normalized substring of length >= w + k - 1 contains a full
+    shared window, hence a shared fingerprint value.
+
+    Short streams: 0 < len(h) < w yields ONE fingerprint (the global
+    min) so short-but-fingerprintable docs stay indexable; len(h) == 0
+    yields the empty set."""
+    mm = F.size(h) - F.lit(w) + F.lit(1)
+    return (
+        F.when(F.size(h) == 0, F.array().cast("array<bigint>"))
+        .when(mm < 1, F.array(F.array_min(h)))
+        .otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), mm),
+                    lambda j: F.array_min(F.slice(h, j, w)),
+                )
+            )
+        )
+    )
+
+
 def minhash_value(sh: Column, a: int, b: int, p: int = MINHASH_P) -> Column:
     """min over shingles of (a * (H(s) mod p) + b) mod p; NULL-safe for
     empty shingle sets (returns p, an impossible real value)."""

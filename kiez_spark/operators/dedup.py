@@ -342,6 +342,119 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+) -> DataFrame:
+    """(doc_id, fp) — distinct winnowing fingerprints per document
+    (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS code-clone
+    algorithm): hash every character k-gram of the normalized text
+    (lowercase, whitespace stripped), then keep the minimum hash of each
+    sliding window of ``window`` consecutive k-grams, deduplicated.
+
+    Guarantee: two documents sharing a normalized substring of length
+    >= window + k - 1 share at least one fingerprint; no match shorter
+    than k is ever detected. Expected fingerprint density is
+    2/(window+1) of the k-gram count, so the posting table this feeds is
+    ~3x smaller than a full shingle index at window=6 — the winnowing
+    selling point at 10^12-file scale. Documents shorter than k
+    normalized characters produce no fingerprints (standard winnowing:
+    below the guarantee threshold nothing is detectable anyway).
+
+    Entirely whole-stage-codegen column expressions (one md5 per char
+    position, window minima via slice/array_min) — no Python, no
+    explode until the final fingerprint unnest. Reference analogue:
+    kiez has no local-fingerprint operator; this extends the dedup
+    ladder (exact sha / minhash / simhash / n-gram) with the
+    partial-overlap detector the source-code north star needs."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    # STAGED projections, not one composed expression: winnow_minima
+    # references its hash-array argument several times (size guards +
+    # slice per window), so inlining char_kgram_hashes there would
+    # re-evaluate the WHOLE k-gram md5 stream once per window position —
+    # O(m^2 k) interpreted hashing, a measured multi-minute hang at 500
+    # docs. As separate aliases each stage is computed once: Catalyst's
+    # CollapseProject keeps projections apart when a non-cheap alias is
+    # referenced more than once downstream.
+    d = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        T.winnow_norm(F.col(text_col)).alias("_t"),
+    )
+    d = d.select("doc_id", T.char_kgram_hashes(F.col("_t"), k).alias("_h"))
+    d = d.select(
+        "doc_id", T.winnow_minima(F.col("_h"), window).alias("_fps")
+    )
+    # explode_outer, NOT explode: plain explode makes the optimizer infer
+    # a `size(_fps) > 0` filter (InferFiltersFromGenerate) and push it
+    # below every projection above — which inlines the whole staged
+    # pipeline into one Filter expression and re-evaluates the k-gram
+    # stream per window slice: the O(m^2) blowup again, through the back
+    # door. Outer explode infers nothing; the null rows from empty
+    # fingerprint sets are dropped AFTER the Generate, where the filter
+    # only references the generated attribute and cannot sink.
+    return (
+        d.select("doc_id", F.explode_outer("_fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+    min_common: int = 2,
+    min_overlap: float = 0.0,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """(a_id, b_id, common, overlap) — candidate clone pairs sharing
+    >= ``min_common`` winnowing fingerprints AND overlap coefficient
+    common/min(|A|, |B|) >= ``min_overlap`` (the clone-detection
+    containment measure: a small file pasted into a large one still
+    scores ~1.0, where Jaccard would dilute it). The overlap filter is
+    applied to the UNROUNDED f64 ratio — an exact integer/integer
+    divide, so the cross-engine compare has no rounding boundary.
+
+    Same scale discipline as ngram_jaccard_pairs: inverted-index
+    self-join with a df-cap — fingerprints appearing in more than
+    ``max_doc_freq`` documents (license headers, boilerplate) are
+    dropped from the index but NOT from the per-doc totals, bounding
+    the hottest posting list's quadratic blowup while keeping overlap
+    a true fraction of the full fingerprint set."""
+    fp = winnow_fingerprints(df, id_col, text_col, k, window)
+    sized = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    posting = fp.join(sized, "doc_id")
+    df_counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    posting = posting.join(
+        df_counts.filter(F.col("df") <= max_doc_freq), "fp"
+    )
+    common = (
+        posting.alias("a")
+        .join(posting.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_fp").alias("na"),
+            F.col("b.n_fp").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    overlap = F.col("common").cast("double") / F.least("na", "nb")
+    if min_overlap > 0.0:
+        common = common.filter(overlap >= F.lit(float(min_overlap)))
+    return common.select(
+        "a_id", "b_id", "common", F.round(overlap, 6).alias("overlap")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

@@ -1,0 +1,144 @@
+"""Winnowing (MOSS) fingerprints + clone-pair mining.
+
+Covers: exact parity with a pure-Python reference winnow (value-set
+semantics), the winnowing match guarantee, whitespace/case invariance,
+planted-clone recovery through winnow_pairs, the df-cap, and the plan
+regression guard for the InferFiltersFromGenerate blowup (a pushed-down
+size>0 filter inlined the staged pipeline and made the operator
+quadratic in document length — 435s -> 1.8s at sf0.01 when fixed)."""
+
+import hashlib
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from kiez_spark import synth
+from kiez_spark.operators import dedup as D
+
+K, W = 8, 6
+
+
+def py_winnow(text: str, k: int = K, w: int = W) -> set[int]:
+    """Reference winnow: distinct window-min 60-bit md5 hashes of char
+    k-grams of the normalized text (tie-rule-free value-set form)."""
+    t = re.sub(r"\s+", "", (text or "").lower())
+    hs = [
+        int(hashlib.md5(t[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(t) - k + 1)
+    ]
+    if not hs:
+        return set()
+    if len(hs) < w:
+        return {min(hs)}
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def _collect_fps(df) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["doc_id"], set()).add(r["fp"])
+    return out
+
+
+def test_winnow_parity_python_reference(spark):
+    rows = [
+        (1, "def foo(x):\n    return x + 1\n"),
+        (2, "def foo( x ):\n\treturn x+1\n"),  # whitespace variant of 1
+        (3, "class Bar:\n    pass\n" * 5),  # repeated block -> few fps
+        (4, "ab"),  # shorter than k -> no fingerprints
+        (5, None),  # null text -> no fingerprints
+        (6, "exactly8!"),  # one gram past k -> single fingerprint
+        (7, "Ünïcode ÇhärÅcters in the grám stream, ÜNÏCODE too"),
+    ]
+    got = _collect_fps(D.winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=K, window=W
+    ))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == py_winnow(text or ""), doc_id
+    # whitespace/case-only variants fingerprint identically
+    assert got[1] == got[2] and got[1]
+
+
+def test_winnow_guarantee_and_no_short_matches(spark):
+    # guarantee: a shared normalized substring of length >= w + k - 1
+    # (13 chars here) forces >= 1 shared fingerprint
+    shared = "SHAREDsubstringBLOCK"  # 20 chars, no whitespace
+    rows = [
+        (1, "prefix_one_%s_tail_one" % shared),
+        (2, "other start %s different end" % shared),
+        (3, "completely unrelated content with nothing in common at all"),
+    ]
+    got = _collect_fps(D.winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=K, window=W
+    ))
+    assert got[1] & got[2]
+    assert not (got[1] & got[3])
+
+
+def test_winnow_pairs_recovers_planted_clones(spark):
+    files = synth.repos_files(spark, n=120, cluster_size=4, dup_fraction=0.5)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    pairs = D.winnow_pairs(
+        docs, k=K, window=W, min_common=2, min_overlap=0.5,
+        max_doc_freq=10_000_000,
+    )
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    gold = files.filter("is_clustered").select("row_id", "cluster_id").collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in gold:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["row_id"])
+    planted = {
+        (min(a, b), max(a, b))
+        for ids in by_cluster.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    assert planted, "synth must plant clone clusters"
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"clone recall {recall}"
+    # overlap is a valid containment fraction everywhere
+    bad = pairs.filter(
+        (F.col("overlap") < 0.5) | (F.col("overlap") > 1.0)
+        | (F.col("common") < 2)
+    ).count()
+    assert bad == 0
+
+
+def test_winnow_pairs_df_cap_drops_boilerplate(spark):
+    # two docs whose ONLY shared content is a boilerplate block present
+    # in every doc: with the cap at 3 the boilerplate fingerprints are
+    # df-capped out of the index and the pair disappears
+    boiler = "thisisaboilerplatelicenseheaderblock"
+    rows = [(i, boiler + f"unique content number {i} " * 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.winnow_pairs(
+        df, k=K, window=W, min_common=1, max_doc_freq=10_000_000
+    ).count()
+    capped = D.winnow_pairs(
+        df, k=K, window=W, min_common=1, max_doc_freq=3
+    ).count()
+    assert uncapped > 0 and capped == 0
+
+
+def test_winnow_plan_stays_staged(spark):
+    """Regression guard: the optimized plan must evaluate the k-gram md5
+    stream exactly once. Plain explode makes InferFiltersFromGenerate
+    push a size>0 filter below the staged projections, inlining the
+    whole pipeline into a Filter that re-hashes the stream per window
+    slice — O(len^2) per document."""
+    df = D.winnow_fingerprints(
+        spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string"),
+        k=K, window=W,
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    opt = buf.getvalue().split("== Optimized Logical Plan ==")[1].split(
+        "== Physical Plan =="
+    )[0]
+    assert opt.count("md5") == 1, opt
