@@ -1436,6 +1436,49 @@ WHERE c.common >= 2
 """
 
 
+def q_incremental_winnow(spark, sf_dir):
+    """Daily-increment clone check: the mutated batch (first token ->
+    'zzz', doc_id + 100000) joined against the corpus winnow index —
+    corpus x corpus never pairs. The oracle computes fingerprints over
+    the docs2 union once and splits by id, which is equivalent because a
+    document's fingerprint set is side-independent."""
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    new = corpus.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+    )
+    return D.winnow_join(
+        new,
+        corpus,
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_common=2,
+        min_overlap=0.5,
+        max_doc_freq=10_000_000,
+    )
+
+
+SQL_INCREMENTAL_WINNOW = f"""
+WITH {_DOCS2_SQL},
+{_WINNOW_FPS_SQL.format(src='docs2')},
+posting AS (SELECT doc_id, unnest(f) AS fp FROM fps),
+sized AS (SELECT doc_id, count(*) AS n_fp FROM posting GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, count(*) AS common
+  FROM posting a JOIN posting b USING (fp)
+  WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+  GROUP BY 1, 2
+)
+SELECT c.new_id, c.corpus_id, c.common,
+       round(c.common::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM common c
+JOIN sized sa ON sa.doc_id = c.new_id
+JOIN sized sb ON sb.doc_id = c.corpus_id
+WHERE c.common >= 2
+  AND c.common::DOUBLE / least(sa.n_fp, sb.n_fp) >= 0.5
+"""
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     return D.simhash_fingerprints(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -3968,6 +4011,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "incremental_winnow": (q_incremental_winnow, SQL_INCREMENTAL_WINNOW),
     "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

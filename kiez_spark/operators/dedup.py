@@ -455,6 +455,101 @@ def winnow_pairs(
     )
 
 
+def build_winnow_index(
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+) -> DataFrame:
+    """(doc_id, fp, n_fp) — the persisted corpus-side clone index: the
+    winnowing posting table with each document's total fingerprint count
+    alongside (so increments can compute the overlap coefficient without
+    touching corpus text). Write once per corpus version with
+    ``save_winnow_index``; each batch then joins against the stored
+    postings instead of re-hashing the corpus — the same S6
+    index-persistence pattern as build_minhash_index."""
+    fp = winnow_fingerprints(corpus_df, id_col, text_col, k, window)
+    sized = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    return fp.join(sized, "doc_id")
+
+
+def save_winnow_index(index_df: DataFrame, path: str) -> None:
+    index_df.write.mode("overwrite").parquet(path)
+
+
+def load_winnow_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def winnow_join(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+    min_common: int = 2,
+    min_overlap: float = 0.0,
+    max_doc_freq: int = 1000,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric clone join: (new_id, corpus_id, common, overlap) for a
+    new batch against an existing corpus — the daily-increment clone
+    check. corpus x corpus pairs never materialize; each increment
+    shuffles only its own batch postings to the fingerprint keys.
+
+    Pass ``corpus_index`` (a ``build_winnow_index`` table, possibly
+    ``load_winnow_index``-ed) instead of ``corpus_df`` to skip corpus
+    re-hashing entirely. ``k``/``window`` must match the index build.
+
+    The df-cap is computed over the CORPUS side only: corpus document
+    frequency is frozen with the index version, so a pair's candidacy
+    never depends on what else happens to share the batch — chained
+    increments against one index version give identical pairs regardless
+    of batch sizing. With corpus-df-capped fingerprints dropped from both
+    sides' postings (not from n_fp), a batch x corpus pair is reported
+    iff winnow_pairs on the combined corpus would report it under the
+    same corpus-side cap.
+
+    Ids may overlap between sides (separate namespaces) — pairs are NOT
+    id-ordered; a doc present verbatim on both sides joins to itself
+    with overlap 1.0."""
+    assert (corpus_df is None) != (corpus_index is None), (
+        "pass exactly one of corpus_df / corpus_index"
+    )
+    if corpus_index is None:
+        corpus_index = build_winnow_index(
+            corpus_df, id_col, text_col, k, window
+        )
+    hot = (
+        corpus_index.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_doc_freq)
+        .select("fp")
+    )
+    corp = corpus_index.join(hot, "fp", "left_anti").select(
+        F.col("doc_id").alias("corpus_id"),
+        "fp",
+        F.col("n_fp").alias("nb"),
+    )
+    batch = build_winnow_index(new_df, id_col, text_col, k, window).select(
+        F.col("doc_id").alias("new_id"), "fp", F.col("n_fp").alias("na")
+    )
+    common = (
+        batch.join(corp, "fp")
+        .groupBy("new_id", "corpus_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    overlap = F.col("common").cast("double") / F.least("na", "nb")
+    if min_overlap > 0.0:
+        common = common.filter(overlap >= F.lit(float(min_overlap)))
+    return common.select(
+        "new_id", "corpus_id", "common", F.round(overlap, 6).alias("overlap")
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:

@@ -125,6 +125,41 @@ def test_winnow_pairs_df_cap_drops_boilerplate(spark):
     assert uncapped > 0 and capped == 0
 
 
+def test_winnow_join_matches_union_rerun(spark, tmp_path):
+    """Batch x corpus via the persisted index == the cross-side subset of
+    winnow_pairs on the combined corpus (same cap), and the index
+    roundtrips through parquet."""
+    files = synth.repos_files(spark, n=80, cluster_size=4, dup_fraction=0.5)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    idx_path = str(tmp_path / "winnow_idx")
+    D.save_winnow_index(D.build_winnow_index(corpus, k=K, window=W), idx_path)
+    idx = D.load_winnow_index(spark, idx_path)
+    inc = D.winnow_join(
+        batch, corpus_index=idx, k=K, window=W,
+        min_common=2, min_overlap=0.5, max_doc_freq=10_000_000,
+    )
+    got = {
+        (r.new_id, r.corpus_id, r.common, r.overlap) for r in inc.collect()
+    }
+
+    full = D.winnow_pairs(
+        docs, k=K, window=W, min_common=2, min_overlap=0.5,
+        max_doc_freq=10_000_000,
+    )
+    want = set()
+    for r in full.collect():
+        lo, hi = r.a_id, r.b_id
+        if lo % 2 != hi % 2:  # cross-side pairs only
+            new_id, corpus_id = (lo, hi) if lo % 2 == 1 else (hi, lo)
+            want.add((new_id, corpus_id, r.common, r.overlap))
+    assert got == want and got
+
+
 def test_winnow_plan_stays_staged(spark):
     """Regression guard: the optimized plan must evaluate the k-gram md5
     stream exactly once. Plain explode makes InferFiltersFromGenerate
