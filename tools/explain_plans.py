@@ -465,6 +465,29 @@ def main() -> int:
             print(p[:4000])
         ok &= good
 
+    # 27. incremental winnow_join: batch x corpus via pure fp equi-join
+    #     behind a left-anti hot-fingerprint gate; pair counts partially
+    #     aggregate map-side; nothing goes cartesian.
+    import kiez_spark.operators.dedup as DD
+
+    widx = DD.build_winnow_index(docs.select("doc_id", "text"))
+    batch = docs.select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    ).limit(50)
+    p = plan_of(DD.winnow_join(batch, corpus_index=widx, min_common=2))
+    must_have = ["LeftAnti", "HashAggregate"]
+    missing = [m for m in must_have if m not in p]
+    cartesian = "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+    good = not missing and not cartesian
+    print(
+        ("PASS" if good else
+         f"FAIL (missing {missing}, cartesian={cartesian})")
+        + " winnow_join: fp equi-join behind anti-join cap gate, no cartesian"
+    )
+    if dump or not good:
+        print(p[:4000])
+    ok &= good
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
