@@ -6,7 +6,8 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": ...,
    "scaling": {"cores_lo": 2, "cores_hi": 8, "pairs_per_sec_lo": ...,
                "pairs_per_sec_hi": ..., "efficiency": ...,
-               "mid_pair": {...}, "kernel_only": {...}, "fs_pair": {...}}}
+               "mid_pair": {...}, "kernel_only": {...}, "fs_pair": {...},
+               "jw_leg": {...}, "winnow_pair": {...}}}
 
 The scaling block evidences the north_rule's N -> 4N criterion in this
 single-host sandbox: the candidate-scoring job (the n^2 distance-kernel
@@ -341,6 +342,94 @@ def timed_jw(cores: int, prefilter: bool) -> tuple[float, int, int]:
         spark.stop()
 
 
+WN_CORPUS = int(os.environ.get("SPARK_GRAFT_WN_CORPUS", "100000"))
+WN_BATCH = int(os.environ.get("SPARK_GRAFT_WN_BATCH", "10000"))
+WN_PATH = f"/tmp/bench_winnow_{WN_CORPUS}_{WN_BATCH}"
+
+
+def ensure_winnow_dataset():
+    """Deterministic corpus + mutated batch for the winnowing leg:
+    corpus docs carry per-doc-unique token streams (so clone hits are
+    exactly the planted batch->original pairs, not vocabulary noise);
+    the batch is the first WN_BATCH corpus docs with their first token
+    swapped — every batch doc must find its original."""
+    if os.path.exists(os.path.join(WN_PATH, "_SUCCESS")):
+        return
+    from pyspark.sql import functions as F
+
+    from kiez_spark.session import get_spark
+
+    spark = get_spark("bench-wngen", cores=min(CPUS, 16),
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        def utokens(idcol):
+            # 20 short per-doc-unique tokens (~120 normalized chars):
+            # the interpreted-HOF md5 rate is ~90k grams/s/core, so the
+            # leg's wall is set by total normalized chars — size for a
+            # ~30-40s lo leg
+            return F.concat_ws(" ", F.transform(
+                F.sequence(F.lit(1), F.lit(20)),
+                lambda t: F.concat(
+                    F.lit("u"),
+                    F.pmod(
+                        F.xxhash64(idcol * 2654435761 + t, F.lit(13)),
+                        F.lit(99991),
+                    ).cast("string"),
+                ),
+            ))
+
+        corpus = spark.range(WN_CORPUS, numPartitions=32).select(
+            F.col("id").alias("doc_id"), utokens(F.col("id")).alias("text")
+        )
+        corpus.write.mode("overwrite").parquet(f"{WN_PATH}/corpus")
+        batch = spark.range(WN_BATCH, numPartitions=32).select(
+            (F.col("id") + 1_000_000_000).alias("doc_id"),
+            F.regexp_replace(
+                utokens(F.col("id")), r"^\S+", "zzzz"
+            ).alias("text"),
+        )
+        batch.write.mode("overwrite").parquet(f"{WN_PATH}/batch")
+        open(os.path.join(WN_PATH, "_SUCCESS"), "w").close()
+    finally:
+        spark.stop()
+
+
+def timed_winnow(cores: int) -> tuple[float, int, int]:
+    """One winnowing-increment measurement: fingerprint the corpus
+    (build_winnow_index) AND the batch, then the batch x corpus clone
+    join (dedup.winnow_join) — the production daily-increment clone
+    check, end to end. Pure JVM (md5 k-gram expressions + hash joins,
+    no python workers): with the fs leg this gives a second
+    throttle-immune N -> 4N signal whose cost profile is
+    expression-compute + one posting shuffle rather than whole-stage
+    filter codegen. Returns (wall, docs fingerprinted, clone hits)."""
+    from kiez_spark.operators import dedup as DD
+    from kiez_spark.session import get_spark
+
+    ensure_winnow_dataset()
+    spark = get_spark(f"bench-wn{cores}", cores=cores,
+                      shuffle_partitions=max(2 * cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        corpus = spark.read.parquet(f"{WN_PATH}/corpus")
+        batch = spark.read.parquet(f"{WN_PATH}/batch")
+        out = DD.winnow_join(
+            batch, corpus, min_common=2, min_overlap=0.5,
+            max_doc_freq=1000,
+        )
+        # warm codegen + file handles on a small slice
+        DD.winnow_join(
+            batch.limit(50 * cores), corpus.limit(50 * cores),
+            min_common=2, min_overlap=0.5, max_doc_freq=1000,
+        ).count()
+        t0 = time.time()
+        hits = out.count()
+        return time.time() - t0, WN_CORPUS + WN_BATCH, hits
+    finally:
+        spark.stop()
+
+
 _KPROBE = {}
 
 
@@ -579,6 +668,59 @@ def main():
             f" min of {jw_pre_walls} vs {jw_raw_walls})",
             file=sys.stderr,
         )
+
+    # Winnowing clone-increment leg: batch x corpus winnow_join at two
+    # core counts — a SECOND pure-JVM N -> 4N signal (md5 k-gram
+    # expressions + posting hash join; no python workers). Runs at the
+    # primary pair's 2 -> 8 convention, NOT 4 -> 16: the interpreted-HOF
+    # md5 stream allocates far more per row than the fs leg's
+    # whole-stage codegen, and past ~8 JVM worker threads the shared
+    # single JVM stops converting cores into throughput for it
+    # (measured 8 -> 16: 3.6s -> 3.4s; 2 -> 8 holds 0.80-0.82 on the
+    # same input). Clone hits are also a live correctness gate: every
+    # planted batch mutant must find its original.
+    # Disable: SPARK_GRAFT_WINNOW=0.
+    if scaling is not None and os.environ.get("SPARK_GRAFT_WINNOW", "1") != "0":
+        wn_pairs_n = int(os.environ.get("SPARK_GRAFT_WN_PAIRS", "2"))
+        wn_lo_c = int(os.environ.get("SPARK_GRAFT_WN_LO", "2"))
+        wn_hi_c = int(os.environ.get("SPARK_GRAFT_WN_HI", "8"))
+        if wn_pairs_n > 0:
+            w_lo_walls, w_hi_walls = [], []
+            n_wn = wn_hits = None
+            for i in range(wn_pairs_n):
+                if i:
+                    time.sleep(20)
+                t_wlo, n_wn, wn_hits = timed_winnow(wn_lo_c)
+                t_whi, _, _ = timed_winnow(wn_hi_c)
+                w_lo_walls.append(round(t_wlo, 3))
+                w_hi_walls.append(round(t_whi, 3))
+                print(
+                    f"  winnow pair {i}: local[{wn_lo_c}] {t_wlo:.1f}s ->"
+                    f" local[{wn_hi_c}] {t_whi:.1f}s"
+                    f" (eff {(t_wlo/t_whi)/(wn_hi_c/wn_lo_c):.2f})",
+                    file=sys.stderr,
+                )
+            t_wlo, t_whi = min(w_lo_walls), min(w_hi_walls)
+            w_eff = (t_wlo / t_whi) / (wn_hi_c / wn_lo_c)
+            scaling["winnow_pair"] = {
+                "cores_lo": wn_lo_c,
+                "cores_hi": wn_hi_c,
+                "wall_lo_sec": t_wlo,
+                "wall_hi_sec": t_whi,
+                "walls_lo_sec": w_lo_walls,
+                "walls_hi_sec": w_hi_walls,
+                "docs_fingerprinted": n_wn,
+                "clone_hits": wn_hits,
+                "docs_per_sec_lo": round(n_wn / t_wlo),
+                "docs_per_sec_hi": round(n_wn / t_whi),
+                "efficiency": round(w_eff, 3),
+            }
+            print(
+                f"  winnow leg: local[{wn_lo_c}] {t_wlo:.1f}s ->"
+                f" local[{wn_hi_c}] {t_whi:.1f}s, efficiency {w_eff:.2f},"
+                f" {wn_hits} clone hits",
+                file=sys.stderr,
+            )
 
     # supplementary Spark-level MID-RANGE pair: 4 -> 16 worker cores,
     # interleaved-min like the primary block. Runs LAST: 16 python
