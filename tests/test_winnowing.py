@@ -61,6 +61,34 @@ def test_winnow_parity_python_reference(spark):
     assert got[1] == got[2] and got[1]
 
 
+def test_winnow_parity_randomized(spark):
+    """150 seeded random strings — mixed alphabets (ascii, digits,
+    unicode, whitespace runs, repeats), lengths straddling every edge
+    (0, <k, ==k, <k+w-1, long) — must fingerprint identically to the
+    Python reference in ONE Spark job."""
+    import random
+
+    rng = random.Random(0xC10E5)
+    alphabets = [
+        "ab",  # heavy collisions / repeats
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "aA \t\n",  # case + whitespace runs
+        "äöüß漢字かなαβγ ",  # multi-byte
+    ]
+    rows = []
+    for i in range(150):
+        alpha = alphabets[i % len(alphabets)]
+        length = [0, K - 1, K, K + W - 2, K + W - 1, 40, 200][i % 7]
+        rows.append(
+            (i, "".join(rng.choice(alpha) for _ in range(length)))
+        )
+    got = _collect_fps(D.winnow_fingerprints(
+        spark.createDataFrame(rows, "doc_id long, text string"), k=K, window=W
+    ))
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == py_winnow(text), (doc_id, text)
+
+
 def test_winnow_guarantee_and_no_short_matches(spark):
     # guarantee: a shared normalized substring of length >= w + k - 1
     # (13 chars here) forces >= 1 shared fingerprint
