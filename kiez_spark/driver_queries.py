@@ -1479,6 +1479,56 @@ WHERE c.common >= 2
 """
 
 
+def q_repo_clone_pairs(spark, sf_dir):
+    """Group-level (repo-level) clone detection: each source's documents
+    plus a mutated twin group ('m_'||source, first token -> 'zzz') —
+    every twin pair must surface with high fingerprint containment."""
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mut = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+", "zzz").alias("text"),
+        F.concat(F.lit("m_"), F.col("source")).alias("source"),
+    )
+    return D.winnow_group_pairs(
+        d.unionByName(mut),
+        group_col="source",
+        k=_WINNOW_K,
+        window=_WINNOW_W,
+        min_common=2,
+        min_overlap=0.3,
+        max_group_freq=10_000_000,
+    )
+
+
+SQL_REPO_CLONE_PAIRS = f"""
+WITH srcdocs AS (
+  SELECT source AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'm_' || source AS doc_id, regexp_replace(text, '^\\S+', 'zzz') AS text
+  FROM documents
+),
+{_WINNOW_FPS_SQL.format(src='srcdocs')},
+posting AS (
+  SELECT DISTINCT doc_id, fp
+  FROM (SELECT doc_id, unnest(f) AS fp FROM fps)
+),
+sized AS (SELECT doc_id, count(*) AS n_fp FROM posting GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS a_grp, b.doc_id AS b_grp, count(*) AS common
+  FROM posting a JOIN posting b USING (fp)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.a_grp, c.b_grp, c.common,
+       round(c.common::DOUBLE / least(sa.n_fp, sb.n_fp), 6) AS overlap
+FROM common c
+JOIN sized sa ON sa.doc_id = c.a_grp
+JOIN sized sb ON sb.doc_id = c.b_grp
+WHERE c.common >= 2
+  AND c.common::DOUBLE / least(sa.n_fp, sb.n_fp) >= 0.3
+"""
+
+
 def q_simhash_fingerprints(spark, sf_dir):
     return D.simhash_fingerprints(_docs(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -4012,6 +4062,7 @@ QUERIES = {
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "incremental_winnow": (q_incremental_winnow, SQL_INCREMENTAL_WINNOW),
+    "repo_clone_pairs": (q_repo_clone_pairs, SQL_REPO_CLONE_PAIRS),
     "simhash_fingerprints": (q_simhash_fingerprints, SQL_SIMHASH_FINGERPRINTS),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH_PAIRS),
     "embedding_neardup_pairs": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),

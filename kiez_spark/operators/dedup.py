@@ -342,6 +342,41 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def _winnow_fps(df, key_col, text_col: str, k: int, window: int):
+    """(key, fp) — the staged winnowing pipeline keyed by an arbitrary
+    expression (bigint doc id, string repo/group, ...).
+
+    STAGED projections, not one composed expression: winnow_minima
+    references its hash-array argument several times (size guards +
+    slice per window), so inlining char_kgram_hashes there would
+    re-evaluate the WHOLE k-gram md5 stream once per window position —
+    O(m^2 k) interpreted hashing, a measured multi-minute hang at 500
+    docs. As separate aliases each stage is computed once: Catalyst's
+    CollapseProject keeps projections apart when a non-cheap alias is
+    referenced more than once downstream.
+
+    explode_outer, NOT explode: plain explode makes the optimizer infer
+    a `size(_fps) > 0` filter (InferFiltersFromGenerate) and push it
+    below every projection above — which inlines the whole staged
+    pipeline into one Filter expression and re-evaluates the k-gram
+    stream per window slice: the O(m^2) blowup again, through the back
+    door. Outer explode infers nothing; the null rows from empty
+    fingerprint sets are dropped AFTER the Generate, where the filter
+    only references the generated attribute and cannot sink."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    d = df.select(
+        key_col.alias("_key"), T.winnow_norm(F.col(text_col)).alias("_t")
+    )
+    d = d.select("_key", T.char_kgram_hashes(F.col("_t"), k).alias("_h"))
+    d = d.select("_key", T.winnow_minima(F.col("_h"), window).alias("_fps"))
+    return (
+        d.select("_key", F.explode_outer("_fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -370,37 +405,9 @@ def winnow_fingerprints(
     kiez has no local-fingerprint operator; this extends the dedup
     ladder (exact sha / minhash / simhash / n-gram) with the
     partial-overlap detector the source-code north star needs."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    # STAGED projections, not one composed expression: winnow_minima
-    # references its hash-array argument several times (size guards +
-    # slice per window), so inlining char_kgram_hashes there would
-    # re-evaluate the WHOLE k-gram md5 stream once per window position —
-    # O(m^2 k) interpreted hashing, a measured multi-minute hang at 500
-    # docs. As separate aliases each stage is computed once: Catalyst's
-    # CollapseProject keeps projections apart when a non-cheap alias is
-    # referenced more than once downstream.
-    d = df.select(
-        F.col(id_col).cast("bigint").alias("doc_id"),
-        T.winnow_norm(F.col(text_col)).alias("_t"),
-    )
-    d = d.select("doc_id", T.char_kgram_hashes(F.col("_t"), k).alias("_h"))
-    d = d.select(
-        "doc_id", T.winnow_minima(F.col("_h"), window).alias("_fps")
-    )
-    # explode_outer, NOT explode: plain explode makes the optimizer infer
-    # a `size(_fps) > 0` filter (InferFiltersFromGenerate) and push it
-    # below every projection above — which inlines the whole staged
-    # pipeline into one Filter expression and re-evaluates the k-gram
-    # stream per window slice: the O(m^2) blowup again, through the back
-    # door. Outer explode infers nothing; the null rows from empty
-    # fingerprint sets are dropped AFTER the Generate, where the filter
-    # only references the generated attribute and cannot sink.
-    return (
-        d.select("doc_id", F.explode_outer("_fps").alias("fp"))
-        .filter(F.col("fp").isNotNull())
-    )
+    return _winnow_fps(
+        df, F.col(id_col).cast("bigint"), text_col, k, window
+    ).withColumnRenamed("_key", "doc_id")
 
 
 def winnow_pairs(
@@ -452,6 +459,59 @@ def winnow_pairs(
         common = common.filter(overlap >= F.lit(float(min_overlap)))
     return common.select(
         "a_id", "b_id", "common", F.round(overlap, 6).alias("overlap")
+    )
+
+
+def winnow_group_pairs(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 6,
+    min_common: int = 2,
+    min_overlap: float = 0.0,
+    max_group_freq: int = 1000,
+) -> DataFrame:
+    """(a_grp, b_grp, common, overlap) — GROUP-level clone pairs (repo
+    vs repo, crawl-source vs crawl-source): a group's fingerprint set is
+    the distinct union of its documents' winnowing fingerprints, and
+    overlap = common / min(|A|, |B|) measures how much of the smaller
+    repo's fingerprinted content appears in the other — the
+    fork/vendored-copy detector over the north-star source-code table
+    (group by repo). Same inverted-index + df-cap discipline as
+    winnow_pairs, with the cap on GROUP frequency (a fingerprint present
+    in more than ``max_group_freq`` groups is ecosystem boilerplate).
+
+    The distinct-union projection happens BEFORE the self-join, so a
+    repo with a million files contributes each fingerprint once — the
+    posting table is bounded by unique content, not file count."""
+    fp = _winnow_fps(
+        df, F.col(group_col).cast("string"), text_col, k, window
+    ).select(F.col("_key").alias("grp"), "fp").distinct()
+    sized = fp.groupBy("grp").agg(F.count(F.lit(1)).alias("n_fp"))
+    posting = fp.join(sized, "grp")
+    gf = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("gf"))
+    posting = posting.join(
+        gf.filter(F.col("gf") <= max_group_freq), "fp"
+    )
+    common = (
+        posting.alias("a")
+        .join(posting.alias("b"), "fp")
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("a_grp"),
+            F.col("b.grp").alias("b_grp"),
+            F.col("a.n_fp").alias("na"),
+            F.col("b.n_fp").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    overlap = F.col("common").cast("double") / F.least("na", "nb")
+    if min_overlap > 0.0:
+        common = common.filter(overlap >= F.lit(float(min_overlap)))
+    return common.select(
+        "a_grp", "b_grp", "common", F.round(overlap, 6).alias("overlap")
     )
 
 

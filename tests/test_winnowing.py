@@ -188,6 +188,35 @@ def test_winnow_join_matches_union_rerun(spark, tmp_path):
     assert got == want and got
 
 
+def test_winnow_group_pairs_repo_rollup(spark):
+    """Repo-level rollup: mutated twin repos pair at high containment,
+    and a group's fingerprint set is its documents' DISTINCT union — a
+    repo holding 10 copies of one file scores exactly like a repo
+    holding one copy (posting bounded by unique content, not by file
+    count)."""
+    base = "def shared_function(): return compute(alpha, beta, gamma)"
+    rows = (
+        # repo_many: the same file 10 times; repo_one: a single copy
+        [(i, base, "repo_many") for i in range(10)]
+        + [(100, base, "repo_one")]
+        # unrelated repo
+        + [(200, "totally unrelated content with its own tokens", "repo_x")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pairs = {
+        (r.a_grp, r.b_grp): (r.common, r.overlap)
+        for r in D.winnow_group_pairs(
+            df, group_col="source", k=K, window=W, min_common=1,
+            max_group_freq=10_000_000,
+        ).collect()
+    }
+    assert ("repo_many", "repo_one") in pairs
+    common, overlap = pairs[("repo_many", "repo_one")]
+    assert overlap == 1.0
+    assert common == len(py_winnow(base))  # distinct union == one copy
+    assert not any("repo_x" in k for k in pairs)
+
+
 def test_winnow_plan_stays_staged(spark):
     """Regression guard: the optimized plan must evaluate the k-gram md5
     stream exactly once. Plain explode makes InferFiltersFromGenerate
