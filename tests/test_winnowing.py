@@ -82,11 +82,15 @@ def test_winnow_parity_randomized(spark):
         rows.append(
             (i, "".join(rng.choice(alpha) for _ in range(length)))
         )
-    got = _collect_fps(D.winnow_fingerprints(
-        spark.createDataFrame(rows, "doc_id long, text string"), k=K, window=W
-    ))
-    for doc_id, text in rows:
-        assert got.get(doc_id, set()) == py_winnow(text), (doc_id, text)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for tier in ("expr", "kernel"):
+        got = _collect_fps(
+            D.winnow_fingerprints(df, k=K, window=W, tier=tier)
+        )
+        for doc_id, text in rows:
+            assert got.get(doc_id, set()) == py_winnow(text), (
+                tier, doc_id, text,
+            )
 
 
 def test_winnow_guarantee_and_no_short_matches(spark):
@@ -135,6 +139,26 @@ def test_winnow_pairs_recovers_planted_clones(spark):
         | (F.col("common") < 2)
     ).count()
     assert bad == 0
+
+
+def test_winnow_kernel_tier_equals_expr_through_pairs(spark):
+    """The Arrow-kernel fingerprint tier must be bit-identical to the
+    expr tier all the way through pair mining (same md5 60-bit hashes,
+    same window minima — not just same pairs)."""
+    files = synth.repos_files(spark, n=60, cluster_size=4, dup_fraction=0.5)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    out = {}
+    for tier in ("expr", "kernel"):
+        out[tier] = {
+            (r.a_id, r.b_id, r.common, r.overlap)
+            for r in D.winnow_pairs(
+                docs, k=K, window=W, min_common=1, tier=tier,
+                max_doc_freq=10_000_000,
+            ).collect()
+        }
+    assert out["expr"] == out["kernel"] and out["expr"]
 
 
 def test_winnow_pairs_df_cap_drops_boilerplate(spark):
