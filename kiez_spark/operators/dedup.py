@@ -526,7 +526,13 @@ def winnow_pairs(
     dropped from the index but NOT from the per-doc totals, bounding
     the hottest posting list's quadratic blowup while keeping overlap
     a true fraction of the full fingerprint set."""
-    fp = winnow_fingerprints(df, id_col, text_col, k, window, tier)
+    # the fingerprint table feeds the per-doc totals, the df-cap counts
+    # AND both sides of the self-join — persist so the md5 k-gram stage
+    # runs once, not four times (the minhash_lsh_pairs cache convention;
+    # same lifetime caveat: the entry must outlive the returned lazy
+    # plan, MEMORY_AND_DISK LRU handles pressure, and batch drivers
+    # chaining many jobs should spark.catalog.clearCache() between them)
+    fp = winnow_fingerprints(df, id_col, text_col, k, window, tier).persist()
     sized = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
     posting = fp.join(sized, "doc_id")
     df_counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
@@ -578,9 +584,16 @@ def winnow_group_pairs(
     The distinct-union projection happens BEFORE the self-join, so a
     repo with a million files contributes each fingerprint once — the
     posting table is bounded by unique content, not file count."""
-    fp = _winnow_fps_tier(
-        df, F.col(group_col).cast("string"), text_col, k, window, tier
-    ).select(F.col("_key").alias("grp"), "fp").distinct()
+    # persist: feeds sized, the group-frequency cap and both join sides
+    # (minhash_lsh_pairs cache convention — see winnow_pairs)
+    fp = (
+        _winnow_fps_tier(
+            df, F.col(group_col).cast("string"), text_col, k, window, tier
+        )
+        .select(F.col("_key").alias("grp"), "fp")
+        .distinct()
+        .persist()
+    )
     sized = fp.groupBy("grp").agg(F.count(F.lit(1)).alias("n_fp"))
     posting = fp.join(sized, "grp")
     gf = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("gf"))
@@ -674,9 +687,12 @@ def winnow_join(
         "pass exactly one of corpus_df / corpus_index"
     )
     if corpus_index is None:
+        # a freshly built index feeds the hot-fp aggregate AND the corpus
+        # join side — persist so the corpus md5 stage runs once (a LOADED
+        # index is just a parquet scan and needs no cache)
         corpus_index = build_winnow_index(
             corpus_df, id_col, text_col, k, window, tier
-        )
+        ).persist()
     hot = (
         corpus_index.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
