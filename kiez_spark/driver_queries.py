@@ -2606,6 +2606,45 @@ WHERE CASE WHEN (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) > 0
 """
 
 
+# BM25 retrieval — float-literal convention: the SQL spells k1+1 as
+# (1.2 + 1.0), NOT 2.2, because Spark computes F.lit(k1 + 1.0) in Python
+# f64 and the literal 2.2 differs from 1.2+1.0 by one ulp; every other
+# constant (0.5, 0.25, 0.75) is exact in binary.
+_BM25_QUERY = "spark hash table window merge"
+_BM25_TERMS = sorted(set(_BM25_QUERY.split()))
+
+
+def q_bm25_search(spark, sf_dir):
+    return TA.bm25_topk(_docs(spark, sf_dir), _BM25_QUERY, k=25)
+
+
+SQL_BM25_SEARCH = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_SQL.format(col='text')} AS tok FROM documents
+),
+dl AS (SELECT doc_id, len(tok) AS dl FROM toks),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+terms AS (SELECT doc_id, unnest(tok) AS term FROM toks),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms
+  WHERE term IN ({", ".join("'" + t + "'" for t in _BM25_TERMS)})
+  GROUP BY 1, 2
+),
+dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+              * tf * (1.2 + 1.0)
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) ) AS s
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY 1
+)
+SELECT doc_id, round(s, 6) AS bm25,
+       (row_number() OVER (ORDER BY s DESC, doc_id))::INT AS rank
+FROM scored ORDER BY s DESC, doc_id LIMIT 25
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     return TA.tfidf_top_terms(_docs(spark, sf_dir), top_m=3).select(
         "doc_id",
@@ -4076,6 +4115,7 @@ QUERIES = {
     "er_incremental": (q_er_incremental, SQL_ER_INCREMENTAL),
     "er_strict_retraction": (q_er_strict_retraction, SQL_ER_STRICT_RETRACTION),
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "bm25_search": (q_bm25_search, SQL_BM25_SEARCH),
     "scrub_text": (q_scrub_text, SQL_SCRUB_TEXT),
     "repetition_features": (q_repetition_features, SQL_REPETITION_FEATURES),
     "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),

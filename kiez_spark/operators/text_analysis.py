@@ -13,6 +13,8 @@ path) with exact DuckDB-SQL counterparts for the correctness oracle:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -128,6 +130,82 @@ def tfidf_top_terms(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= top_m)
         .select("doc_id", "term", "tf", "df_t", "tfidf", "term_rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, bm25, rank) — the ``k`` highest-scoring documents for a
+    literal query under BM25 (Robertson et al.; the Lucene-style
+    +1-inside-the-log smoothed idf, never negative):
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        s(d)    = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    with dl = |tokens(d)| and avgdl the corpus mean. The
+    training-data-side retrieval primitive (eval-set mining, targeted
+    corpus slicing) the tf-idf keyword extractor doesn't cover.
+
+    Scale shape: the query terms are a driver-side literal list, so the
+    term filter sits directly on the exploded token stream (only
+    query-term postings survive the first shuffle); tf and df_t are
+    map-side-combinable groupBys; N/avgdl ride one 1-row broadcast
+    cross join (no driver collect); the global top-k is orderBy+limit —
+    TakeOrderedAndProject, never a single-partition sort. Ties break on
+    doc_id. Returns at most k rows; rank is dense 1..k over
+    (score desc, doc_id)."""
+    q_terms = sorted(
+        {t for t in re.split(r"\s+", query.strip().lower()) if t}
+    )
+    if not q_terms:
+        raise ValueError("bm25_topk: empty query")
+    tok = T.tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col).cast("bigint").alias("doc_id"), tok.alias("_tok")
+    )
+    dl = base.select("doc_id", F.size("_tok").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("dl").alias("_avgdl")
+    )
+    terms = base.select("doc_id", F.explode("_tok").alias("term")).filter(
+        F.col("term").isin(q_terms)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    norm = F.col("tf") * F.lit(k1 + 1.0) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("_avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("_s"))
+    )
+    top = scored.orderBy(F.col("_s").desc(), "doc_id").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("_s").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        F.round("_s", 6).alias("bm25"),
+        # the window runs over at most k already-reduced rows — not a
+        # full-corpus single-partition sort
+        F.row_number().over(w).cast("int").alias("rank"),
     )
 
 

@@ -119,6 +119,34 @@ def test_text_analysis_ops(spark, docs):
     assert fp.count() == n
 
 
+def test_bm25_topk(spark, docs):
+    """BM25 retrieval: rank/score contracts on the real corpus, then the
+    two defining behaviors on a constructed one — term-stuffing wins on
+    tf saturation, and at equal tf the SHORTER document outranks the
+    longer (length normalization)."""
+    top = TA.bm25_topk(docs, "the and data", k=10).collect()
+    assert 0 < len(top) <= 10
+    assert [r.rank for r in top] == list(range(1, len(top) + 1))
+    scores = [r.bm25 for r in top]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "needle needle needle in a stack"),
+            (2, "needle in a very very long hay stack full of other words"),
+            (3, "needle in stack"),
+            (4, "nothing relevant here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in TA.bm25_topk(corpus, "needle", k=4).collect()}
+    assert 4 not in got  # no query term -> no row
+    assert got[1].rank == 1  # highest tf wins
+    # docs 2 and 3 tie on tf=1: shorter doc 3 must outrank longer doc 2
+    assert got[3].bm25 > got[2].bm25
+
+
 def test_multimodal_plumbing(spark, docs):
     blobs = M.pack_blobs(docs.limit(50))
     assert blobs.filter(F.col("n_bytes") != F.length(F.col("blob"))).count() == 0
