@@ -342,8 +342,8 @@ def timed_jw(cores: int, prefilter: bool) -> tuple[float, int, int]:
         spark.stop()
 
 
-WN_CORPUS = int(os.environ.get("SPARK_GRAFT_WN_CORPUS", "100000"))
-WN_BATCH = int(os.environ.get("SPARK_GRAFT_WN_BATCH", "10000"))
+WN_CORPUS = int(os.environ.get("SPARK_GRAFT_WN_CORPUS", "200000"))
+WN_BATCH = int(os.environ.get("SPARK_GRAFT_WN_BATCH", "20000"))
 WN_PATH = f"/tmp/bench_winnow_{WN_CORPUS}_{WN_BATCH}"
 
 
