@@ -1357,6 +1357,16 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def q_jaccard_prefix_pairs(spark, sf_dir):
+    """AllPairs/PPJoin prefix-filtered exact Jaccard: registered against
+    the SAME brute-force oracle SQL as ngram_jaccard_pairs — a green
+    hash row IS the losslessness proof of the prefix+size filters."""
+    pairs = D.jaccard_prefix_pairs(_docs2(spark, sf_dir), threshold=0.6)
+    return pairs.select(
+        "src_id", "tgt_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # Winnowing (MOSS) fingerprints — the DuckDB twin replays the exact
 # Spark expression pipeline with list comprehensions: char k-gram md5
 # hashes of the normalized text, sliding-window minima, distinct. The
@@ -4098,6 +4108,7 @@ QUERIES = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD_PAIRS),
+    "jaccard_prefix_pairs": (q_jaccard_prefix_pairs, SQL_NGRAM_JACCARD_PAIRS),
     "winnow_fingerprints": (q_winnow_fingerprints, SQL_WINNOW_FINGERPRINTS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "incremental_winnow": (q_incremental_winnow, SQL_INCREMENTAL_WINNOW),

@@ -119,6 +119,26 @@ def test_text_analysis_ops(spark, docs):
     assert fp.count() == n
 
 
+def test_jaccard_prefix_pairs_lossless(spark, dup_docs):
+    """The AllPairs/PPJoin prefix+size filters must be LOSSLESS: output
+    identical to the uncapped brute-force inverted-index join at every
+    threshold (value-identical, not just pair-identical)."""
+    docs, _ = dup_docs
+    for t in (0.5, 0.7, 0.9):
+        brute = {
+            (r.src_id, r.tgt_id, round(r.jaccard, 9))
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=t, max_doc_freq=10_000_000
+            ).collect()
+        }
+        pref = {
+            (r.src_id, r.tgt_id, round(r.jaccard, 9))
+            for r in D.jaccard_prefix_pairs(docs, threshold=t).collect()
+        }
+        assert brute == pref, t
+    assert pref is not None and len(brute) > 0
+
+
 def test_bm25_topk(spark, docs):
     """BM25 retrieval: rank/score contracts on the real corpus, then the
     two defining behaviors on a constructed one — term-stuffing wins on
