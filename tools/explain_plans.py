@@ -488,6 +488,22 @@ def main() -> int:
         print(p[:4000])
     ok &= good
 
+    # 28. prefix-filtered exact Jaccard: the candidate stage is a pure
+    #     shingle equi-join over prefix postings (rarest-first rank
+    #     window on the doc exchange) — no cartesian/nested-loop path
+    #     anywhere in the lossless pipeline.
+    p = plan_of(DD.jaccard_prefix_pairs(
+        docs.select("doc_id", "text"), threshold=0.6
+    ))
+    good = (
+        "RunningWindowFunction" in p or "Window" in p
+    ) and "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    print(("PASS" if good else "FAIL")
+          + " jaccard_prefix_pairs: prefix rank window + equi-joins only")
+    if dump or not good:
+        print(p[:4000])
+    ok &= good
+
     spark.stop()
     print("ALL PASS" if ok else "PLAN AUDIT FAILURES")
     return 0 if ok else 1
