@@ -448,11 +448,11 @@ def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
     60-bit hashes, same window-min value sets — parity-tested against
     the expr tier and the pure-Python reference), computed with hashlib
     per gram + numpy sliding-window minima in a ``mapInPandas`` kernel.
-    ~4x the expr tier's per-core rate (the interpreted HOF evaluates
-    substring+md5+hex-conv per element at ~2us/gram; hashlib + a
-    local-variable loop runs ~0.5us/gram and the minima vectorize), at
-    the cost of python workers — callers pick the tier by host: expr
-    keeps the work JVM-side, kernel trades Arrow transfer for hash rate.
+    Measured 1.9x the expr tier end-to-end at local[8] (the interpreted
+    HOF evaluates substring+md5+hex-conv per element at ~2us/gram;
+    hashlib runs ~0.5us/gram but Arrow transfer and worker overhead eat
+    part of it back) — callers pick the tier by host: expr keeps the
+    work JVM-side, kernel trades Arrow transfer for hash rate.
 
     Cross-engine normalization notes (the subtle bits, matched to the
     JVM expr tier exactly): Python's ``\\s`` is UNICODE by default but
