@@ -1703,8 +1703,7 @@ def q_cc_clusters(spark, sf_dir):
     return CC.connected_components(pairs, nodes).select("id", "component")
 
 
-SQL_CC_CLUSTERS = f"""
-WITH RECURSIVE {_SIGS2_SQL},
+_CC_CTES_SQL = f"""WITH RECURSIVE {_SIGS2_SQL},
 edges AS (SELECT src_id AS u, tgt_id AS v FROM jac WHERE jaccard >= 0.5),
 sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges),
 reach(a, b) AS (
@@ -1712,9 +1711,33 @@ reach(a, b) AS (
   UNION
   SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
 ),
-comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a)
-SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
-FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+comp AS (SELECT a AS id, least(a, min(b)) AS component FROM reach GROUP BY a),
+assign AS (
+  SELECT d.doc_id AS id, coalesce(comp.component, d.doc_id) AS component
+  FROM docs2 d LEFT JOIN comp ON d.doc_id = comp.id
+)"""
+
+SQL_CC_CLUSTERS = f"""
+{_CC_CTES_SQL}
+SELECT id, component FROM assign
+"""
+
+
+def q_component_size_histogram(spark, sf_dir):
+    """Component-size distribution of the docs2 near-dup clustering —
+    the giant-component health check (every planted pair makes a size-2
+    component; anything larger flags transitive chaining)."""
+    docs2 = _docs2(spark, sf_dir)
+    pairs = D.minhash_lsh_pairs(docs2, n_hashes=16, bands=4, threshold=0.5)
+    nodes = docs2.select(F.col("doc_id").alias("id"))
+    assign = CC.connected_components(pairs, nodes).select("id", "component")
+    return CC.component_size_histogram(assign)
+
+
+SQL_COMPONENT_SIZE_HISTOGRAM = f"""
+{_CC_CTES_SQL},
+sizes AS (SELECT component, count(*) AS size FROM assign GROUP BY 1)
+SELECT size, count(*) AS n_components FROM sizes GROUP BY 1
 """
 
 
@@ -4121,6 +4144,10 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprints": (q_fingerprints, SQL_FINGERPRINTS),
     "cc_clusters": (q_cc_clusters, SQL_CC_CLUSTERS),
+    "component_size_histogram": (
+        q_component_size_histogram,
+        SQL_COMPONENT_SIZE_HISTOGRAM,
+    ),
     "dedup_decisions": (q_dedup_decisions, SQL_DEDUP_DECISIONS),
     "incremental_neardup": (q_incremental_neardup, SQL_INCREMENTAL_NEARDUP),
     "er_incremental": (q_er_incremental, SQL_ER_INCREMENTAL),

@@ -268,3 +268,21 @@ def decisions_from_assignment(
             (F.col("id") == F.col("keep_id")).alias("is_survivor"),
         )
     )
+
+
+def component_size_histogram(assign: DataFrame) -> DataFrame:
+    """(size, n_components) — the component-size distribution of an
+    (id, component) assignment: the giant-component health check every
+    dedup/linkage pipeline monitors at scale. A boilerplate-chained
+    near-dup graph collapses transitively into one giant component that
+    would elect a single survivor for millions of documents; watching
+    this histogram's tail (and alerting on max(size)) is the standard
+    guard before survivor election is allowed to drop data.
+
+    Two map-side-combinable aggregations: the shuffle carries one row
+    per component, then one per distinct size — negligible at any
+    corpus scale."""
+    sizes = assign.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )

@@ -117,3 +117,18 @@ def test_survivor_decisions_min_id_and_quality(spark):
     assert decq[2].is_survivor and decq[1].keep_id == 2  # 0.9 tie -> min id 2
     assert decq[10].is_survivor  # 0.5 tie -> min id 10
     assert decq[99].is_survivor  # missing quality -> 0.0, alone anyway
+
+
+def test_component_size_histogram(spark):
+    """Histogram of a known assignment; sizes must account for every id
+    (sum of size * n_components == total rows)."""
+    assign = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)],
+        "id bigint, component bigint",
+    )
+    got = {
+        r["size"]: r["n_components"]
+        for r in C.component_size_histogram(assign).collect()
+    }
+    assert got == {3: 1, 2: 1, 1: 2}
+    assert sum(s * n for s, n in got.items()) == 7
