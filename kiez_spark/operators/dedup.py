@@ -399,13 +399,17 @@ def jaccard_prefix_pairs(
     ranked = posting.join(dfreq, "shingle").withColumn(
         "pos", F.row_number().over(w)
     )
-    # prefix length n - ceil(t*n) + 1; Spark has no ceil-to-int on
-    # double*int that avoids fp edge cases, so compute ceil(t*n) as
-    # -floor(-t*n) on exact doubles
+    # prefix length n - ceil(t*n) + 1, computed as -floor(-(t*n) + eps):
+    # fp(t*n) can land a hair ABOVE the true rational (e.g.
+    # fp(0.55*100) = 55.000000000000007), which would overshoot the ceil
+    # and shorten the prefix below the provable bound — the 1e-9 pad
+    # (the er._jw_upper_bound epsilon convention) errs toward a LONGER
+    # prefix; extra candidates are exactly verified downstream, so the
+    # pad can only add work, never results
     prefix_len = (
         F.col("n_sh")
         + F.lit(1)
-        - (-F.floor(F.lit(-t) * F.col("n_sh"))).cast("int")
+        - (-F.floor(F.lit(-t) * F.col("n_sh") + F.lit(1e-9))).cast("int")
     )
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
         "doc_id", "n_sh", "shingle"
@@ -414,10 +418,13 @@ def jaccard_prefix_pairs(
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        # size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+        # size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|);
+        # padded by the same 1e-9: an exact-boundary pair (t=0.55,
+        # |A|=55, |B|=100) must not be pruned because fp(t*max) rounded
+        # up — survivors are exactly verified, so the pad is lossless
         .filter(
             F.least("a.n_sh", "b.n_sh").cast("double")
-            >= F.lit(t) * F.greatest("a.n_sh", "b.n_sh")
+            >= F.lit(t) * F.greatest("a.n_sh", "b.n_sh") - F.lit(1e-9)
         )
         .select(
             F.col("a.doc_id").alias("src_id"),
@@ -784,9 +791,11 @@ def winnow_join(
     Ids may overlap between sides (separate namespaces) — pairs are NOT
     id-ordered; a doc present verbatim on both sides joins to itself
     with overlap 1.0."""
-    assert (corpus_df is None) != (corpus_index is None), (
-        "pass exactly one of corpus_df / corpus_index"
-    )
+    # argument contract as a real exception, not an assert (stripped
+    # under python -O, after which both-None reaches build_winnow_index
+    # with an opaque AttributeError)
+    if (corpus_df is None) == (corpus_index is None):
+        raise ValueError("pass exactly one of corpus_df / corpus_index")
     if corpus_index is None:
         # a freshly built index feeds the hot-fp aggregate AND the corpus
         # join side — persist so the corpus md5 stage runs once (a LOADED

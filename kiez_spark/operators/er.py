@@ -833,7 +833,18 @@ def blocking_quality(
             F.expr("(1000000 * n_found) div n_gold"),
         ).otherwise(F.lit(0)).cast("bigint").alias("pair_completeness_micro"),
         (
-            F.expr(f"(1000000 * ({total} - n_candidates)) div {total}")
+            # DECIMAL(38,0) intermediate: the straight int64 form
+            # 1000000*(total - n_candidates) wraps once n_records exceeds
+            # ~4.3M (total ~9.2e12) — at odds with the 100TB framing.
+            # Decimal keeps ~1e27 intermediates exact, and `div`
+            # (IntegralDivide) truncates EXACTLY on decimals — unlike
+            # decimal `/`, whose scale-reduced quotient rounds HALF_UP
+            # and misreports boundary ratios by 1 micro unit (verified:
+            # floor((total-2)*1e6/total) at n_records=10M).
+            F.expr(
+                f"(cast({total} as decimal(38,0)) - n_candidates)"
+                f" * 1000000 div {total}"
+            )
             if total
             else F.lit(0)
         ).cast("bigint").alias("reduction_ratio_micro"),
