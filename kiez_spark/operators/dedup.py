@@ -834,11 +834,38 @@ def winnow_join(
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ) -> DataFrame:
-    """(doc_id, simhash BIGINT)."""
-    return df.select(
+    """(doc_id, simhash BIGINT).
+
+    Batch tier: explode the token hashes and majority-vote each bit with
+    whole-stage-codegen sums + map-side partial aggregation (guide
+    §2.3/§4.1) instead of ``bits`` interpreted HOF array traversals per
+    row — bit-identical to ``T.simhash64`` (kept for the per-row
+    streaming path, which cannot aggregate): per-token vote is the same
+    ±1 integer, bit b is set iff the integer vote sum is > 0, and a
+    null token array (null text) yields all-null votes, hence simhash 0,
+    exactly like the HOF's null-poisoned accumulator. Token hashes are
+    never null for non-null tokens (md5 of a string), so per-element
+    null semantics cannot diverge."""
+    h = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
-        T.simhash64(T.tokens(F.col(text_col)), bits).alias("simhash"),
-    )
+        F.explode_outer(T.tokens(F.col(text_col))).alias("_t"),
+    ).select("doc_id", T.token_hash(F.col("_t")).alias("_h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("_h").isNotNull(),
+                (F.shiftright("_h", b) % F.lit(2)) * 2 - 1,
+            )
+        ).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(
+            F.col(f"_v{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return agg.select("doc_id", out.alias("simhash"))
 
 
 def simhash_pairs(

@@ -291,30 +291,32 @@ def dis_sim_local(
     src_v = source.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
     tgt_v = target.select(F.col("id"), F.col("vec").cast("array<double>").alias("vec"))
 
-    delta_i = _dist_to_centroid(s2t, tgt_v, src_v, "delta_i")
+    delta_i = _dist_to_centroid(s2t, tgt_v, src_v, "delta")
     if t2s is s2t and source is target:
         # single-source: the reverse candidate table and entity set are
-        # the forward ones, so delta_j == delta_i — compute once
-        delta_j = delta_i.select(
-            F.col("query_id").alias("cand_id"), F.col("delta_i").alias("delta_j")
-        )
+        # the forward ones, so delta_j == delta_i — reference the SAME
+        # DataFrame (not a renamed projection) so both broadcast joins
+        # share one BroadcastExchange: renames below the exchange change
+        # the canonical plan and defeat ReuseExchange, re-running the
+        # whole centroid join+fold subtree a second time (guide §2.4)
+        delta_j = delta_i
     else:
-        delta_j = _dist_to_centroid(t2s, src_v, tgt_v, "delta_j").withColumnRenamed(
-            "query_id", "cand_id"
-        )
+        delta_j = _dist_to_centroid(t2s, src_v, tgt_v, "delta")
 
     # the reference recomputes pairwise squared euclidean distances from
     # the vectors (dis_sim.py:144-157); for (sq)euclidean candidates the
     # recomputation equals dist^2 (resp. dist) of the candidate table —
     # reuse it instead of re-joining both vector tables
     d2 = (F.col("dist") * F.col("dist")) if metric != "sqeuclidean" else F.col("dist")
+    di, dj = delta_i.alias("di"), delta_j.alias("dj")
     pairs = (
-        s2t.join(F.broadcast(delta_i), "query_id")
-        .join(F.broadcast(delta_j), "cand_id")
+        s2t.alias("c")
+        .join(F.broadcast(di), F.col("c.query_id") == F.col("di.query_id"))
+        .join(F.broadcast(dj), F.col("c.cand_id") == F.col("dj.query_id"))
         .select(
-            "query_id",
-            "cand_id",
-            (d2 - F.col("delta_i") - F.col("delta_j")).alias("dist"),
+            F.col("c.query_id").alias("query_id"),
+            F.col("c.cand_id").alias("cand_id"),
+            (d2 - F.col("di.delta") - F.col("dj.delta")).alias("dist"),
         )
     )
     min_row = pairs.agg(F.min("dist").alias("mind"))

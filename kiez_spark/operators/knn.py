@@ -1086,11 +1086,27 @@ def knn_join_pandas(
     # reverse hubness query; warmups) reuse the worker-side kernel state
     token = cache_token or uuid.uuid4().hex
     q = _prep(queries, id_col, vec_col, None)
-    # 4x parallelism: fine-grained tasks let the scheduler balance around
-    # slow cores (this shared host has CPU steal; real clusters have
-    # stragglers) at negligible per-task cost since kernel state is
-    # worker-cached
-    target_parts = n_partitions or spark.sparkContext.defaultParallelism * 4
+    # Scale-adaptive fan-out (guide §2): up to 4x parallelism so
+    # fine-grained tasks let the scheduler balance around slow cores
+    # (this shared host has CPU steal; real clusters have stragglers) at
+    # negligible per-task cost since kernel state is worker-cached — but
+    # derive the task count from the estimated input bytes (~512 KB of
+    # query vectors per task) so a small query side does not fan out into
+    # dozens of near-empty python tasks, each paying ~10 ms of
+    # scheduling + Arrow round-trip (measured: 2k rows at 96 tasks 1.2 s
+    # vs 24 tasks 0.52 s on local[24]). The byte estimate is a
+    # driver-side plan statistic — no job.
+    target_parts = n_partitions
+    if target_parts is None:
+        par = spark.sparkContext.defaultParallelism
+        hi = par * 4
+        try:
+            est = int(
+                queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target_parts = max(par, min(hi, est >> 19))
+        except Exception:
+            target_parts = hi
     if q.rdd.getNumPartitions() < target_parts:
         q = q.repartition(target_parts)
 
