@@ -30,11 +30,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     nbr_min = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
         "u", F.least("mv", "u").alias("m")
     )
+    # no .distinct() here: duplicate (v, m) rows cannot change the min
+    # aggregations downstream and _small_star (the only consumer, always
+    # composed right after) ends in a global distinct that canonicalizes
+    # the round's checkpointed edge set — dropping the intermediate
+    # exchange removes one shuffle per CC round (guide §2.4); the rows a
+    # round moves stay bounded by |sym| = 2|E| either way
     return (
         sym.join(nbr_min, "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 

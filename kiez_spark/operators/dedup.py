@@ -450,23 +450,32 @@ def jaccard_prefix_pairs(
     )
 
 
-def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
+def _winnow_fps_kernel(
+    df, key_col, text_col: str, k: int, window: int, with_counts: bool = False
+):
     """Arrow-kernel twin of _winnow_fps: IDENTICAL output (same md5-based
     60-bit hashes, same window-min value sets — parity-tested against
-    the expr tier and the pure-Python reference), computed with hashlib
-    per gram + numpy sliding-window minima in a ``mapInPandas`` kernel.
-    Measured 1.9x the expr tier end-to-end at local[8] (the interpreted
-    HOF evaluates substring+md5+hex-conv per element at ~2us/gram;
-    hashlib runs ~0.5us/gram but Arrow transfer and worker overhead eat
-    part of it back) — callers pick the tier by host: expr keeps the
-    work JVM-side, kernel trades Arrow transfer for hash rate.
+    the expr tier and the pure-Python reference), computed with a
+    vectorized numpy MD5 over the batch's concatenated ASCII bytes
+    (functions/md5vec, ~4x the per-gram hashlib rate; non-ASCII docs
+    fall back to hashlib per gram) + numpy sliding-window minima in a
+    ``mapInPandas`` kernel. Measured 3.5x the expr tier end-to-end at
+    local[8] on the 220k-doc clone-increment leg (the interpreted HOF
+    evaluates substring+md5+hex-conv per element at ~2-10us/gram) —
+    callers pick the tier by host: expr keeps the work JVM-side, kernel
+    trades Arrow transfer for hash rate.
+
+    ``with_counts`` additionally emits each doc's total fingerprint
+    count ``n_fp`` — free at generation (len of the minima set), saving
+    index builders a full groupBy + self-join over the posting table.
 
     Cross-engine normalization notes (the subtle bits, matched to the
     JVM expr tier exactly): Python's ``\\s`` is UNICODE by default but
     Java's (Spark regexp_replace) is ASCII-only — re.ASCII pins the
     same class; grams are CHARACTER slices (encode each gram, never the
-    byte string); int.from_bytes(digest[:8]) >> 4 equals the first 15
-    hex digits of the md5 (token_hash's 60-bit convention)."""
+    byte string — the ASCII fast path only engages when chars == bytes);
+    int.from_bytes(digest[:8]) >> 4 equals the first 15 hex digits of
+    the md5 (token_hash's 60-bit convention)."""
     import re as _re
 
     from pyspark.sql import types as ST
@@ -474,6 +483,8 @@ def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
     d0 = df.select(key_col.alias("_key"), F.col(text_col).alias("_txt"))
     key_dt = d0.schema["_key"].dataType.simpleString()
     out_schema = f"_key {key_dt}, fp bigint"
+    if with_counts:
+        out_schema += ", n_fp bigint"
 
     def kernel(batches):
         import hashlib
@@ -481,16 +492,42 @@ def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
         import numpy as np
         import pandas as pd
 
+        from kiez_spark.functions.md5vec import md5_windows_60bit
+
         ws = _re.compile(r"\s+", _re.ASCII)
         md5 = hashlib.md5
         swv = np.lib.stride_tricks.sliding_window_view
+
+        def minima(hs, m):
+            if m < window:
+                return hs.min(keepdims=True)
+            return np.unique(swv(hs, window).min(axis=1))
+
         for pdf in batches:
             keys_out: list = []
             fps_out: list = []
+            nfp_out: list = []
+            # ASCII fast path: concatenate every pure-ASCII normalized
+            # doc into ONE byte buffer and hash ALL k-grams in a single
+            # vectorized-MD5 pass (md5vec, ~4x the hashlib loop); grams
+            # never cross doc boundaries because each doc only reads the
+            # window positions inside its own byte span. A doc's k-grams
+            # are CHARACTER slices, so any doc whose utf-8 encoding is
+            # longer than its char count falls back to the per-gram
+            # hashlib loop (bit-identical by construction either way).
+            fast_keys: list = []
+            fast_lens: list = []
+            fast_parts: list = []
             for key, text in zip(pdf["_key"], pdf["_txt"]):
                 t = ws.sub("", (text or "").lower())
                 m = len(t) - k + 1
                 if m < 1:
+                    continue
+                bts = t.encode("utf-8")
+                if len(bts) == len(t):
+                    fast_keys.append(key)
+                    fast_lens.append(len(bts))
+                    fast_parts.append(bts)
                     continue
                 hs = np.fromiter(
                     (
@@ -504,20 +541,30 @@ def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
                     dtype=np.int64,
                     count=m,
                 )
-                if m < window:
-                    fps = hs.min(keepdims=True)
-                else:
-                    fps = np.unique(swv(hs, window).min(axis=1))
+                fps = minima(hs, m)
                 keys_out.extend([key] * len(fps))
                 fps_out.append(fps)
-            yield pd.DataFrame(
-                {
-                    "_key": pd.Series(keys_out),
-                    "fp": np.concatenate(fps_out)
-                    if fps_out
-                    else np.array([], dtype=np.int64),
-                }
-            )
+                nfp_out.extend([len(fps)] * len(fps))
+            if fast_keys:
+                buf = np.frombuffer(b"".join(fast_parts), dtype=np.uint8)
+                hs_all = md5_windows_60bit(buf, k)
+                off = 0
+                for key, ln in zip(fast_keys, fast_lens):
+                    m = ln - k + 1
+                    fps = minima(hs_all[off : off + m], m)
+                    keys_out.extend([key] * len(fps))
+                    fps_out.append(fps)
+                    nfp_out.extend([len(fps)] * len(fps))
+                    off += ln
+            cols = {
+                "_key": pd.Series(keys_out),
+                "fp": np.concatenate(fps_out)
+                if fps_out
+                else np.array([], dtype=np.int64),
+            }
+            if with_counts:
+                cols["n_fp"] = np.asarray(nfp_out, dtype=np.int64)
+            yield pd.DataFrame(cols)
 
     target = df.sparkSession.sparkContext.defaultParallelism
     if d0.rdd.getNumPartitions() < target:
@@ -530,16 +577,20 @@ def _winnow_fps_kernel(df, key_col, text_col: str, k: int, window: int):
     return out
 
 
-def _winnow_fps_tier(df, key_col, text_col, k, window, tier):
+def _winnow_fps_tier(df, key_col, text_col, k, window, tier, with_counts=False):
     if tier not in ("expr", "kernel"):
         raise ValueError(f"unknown winnow tier {tier!r} (expr|kernel)")
     fn = _winnow_fps_kernel if tier == "kernel" else _winnow_fps
-    return fn(df, key_col, text_col, k, window)
+    return fn(df, key_col, text_col, k, window, with_counts)
 
 
-def _winnow_fps(df, key_col, text_col: str, k: int, window: int):
-    """(key, fp) — the staged winnowing pipeline keyed by an arbitrary
-    expression (bigint doc id, string repo/group, ...).
+def _winnow_fps(df, key_col, text_col: str, k: int, window: int,
+                with_counts: bool = False):
+    """(key, fp[, n_fp]) — the staged winnowing pipeline keyed by an
+    arbitrary expression (bigint doc id, string repo/group, ...).
+    ``with_counts`` rides the per-doc fingerprint total along from the
+    minima array (size(_fps), free at this stage) so index builders skip
+    a posting-table groupBy + self-join.
 
     STAGED projections, not one composed expression: winnow_minima
     references its hash-array argument several times (size guards +
@@ -566,6 +617,20 @@ def _winnow_fps(df, key_col, text_col: str, k: int, window: int):
     )
     d = d.select("_key", T.char_kgram_hashes(F.col("_t"), k).alias("_h"))
     d = d.select("_key", T.winnow_minima(F.col("_h"), window).alias("_fps"))
+    if with_counts:
+        # size(_fps) is a SECOND reference to the non-cheap _fps alias,
+        # which (like the explode) keeps CollapseProject from inlining
+        # the staged pipeline — the O(m^2) hazard documented above stays
+        # fenced off
+        return (
+            d.select(
+                "_key",
+                F.explode_outer("_fps").alias("fp"),
+                F.size("_fps").cast("bigint").alias("n_fp"),
+            )
+            .filter(F.col("fp").isNotNull())
+            .select("_key", "fp", "n_fp")
+        )
     return (
         d.select("_key", F.explode_outer("_fps").alias("fp"))
         .filter(F.col("fp").isNotNull())
@@ -578,7 +643,8 @@ def winnow_fingerprints(
     text_col: str = "text",
     k: int = 8,
     window: int = 6,
-    tier: str = "expr",
+    tier: str = "kernel",
+    with_counts: bool = False,
 ) -> DataFrame:
     """(doc_id, fp) — distinct winnowing fingerprints per document
     (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the MOSS code-clone
@@ -603,9 +669,15 @@ def winnow_fingerprints(
     Reference analogue: kiez has no local-fingerprint operator; this
     extends the dedup ladder (exact sha / minhash / simhash / n-gram)
     with the partial-overlap detector the source-code north star
-    needs."""
+    needs.
+
+    ``with_counts=True`` adds the per-doc fingerprint total ``n_fp`` to
+    every row — free at generation (the minima-set size), so index
+    builders and pair miners skip a full posting-table groupBy +
+    self-join (guide §2.4: remove shuffles outright)."""
     return _winnow_fps_tier(
-        df, F.col(id_col).cast("bigint"), text_col, k, window, tier
+        df, F.col(id_col).cast("bigint"), text_col, k, window, tier,
+        with_counts,
     ).withColumnRenamed("_key", "doc_id")
 
 
@@ -618,7 +690,7 @@ def winnow_pairs(
     min_common: int = 2,
     min_overlap: float = 0.0,
     max_doc_freq: int = 1000,
-    tier: str = "expr",
+    tier: str = "kernel",
 ) -> DataFrame:
     """(a_id, b_id, common, overlap) — candidate clone pairs sharing
     >= ``min_common`` winnowing fingerprints AND overlap coefficient
@@ -640,10 +712,10 @@ def winnow_pairs(
     # same lifetime caveat: the entry must outlive the returned lazy
     # plan, MEMORY_AND_DISK LRU handles pressure, and batch drivers
     # chaining many jobs should spark.catalog.clearCache() between them)
-    fp = winnow_fingerprints(df, id_col, text_col, k, window, tier).persist()
-    sized = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    posting = fp.join(sized, "doc_id")
-    df_counts = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+    posting = winnow_fingerprints(
+        df, id_col, text_col, k, window, tier, with_counts=True
+    ).persist()
+    df_counts = posting.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
     posting = posting.join(
         df_counts.filter(F.col("df") <= max_doc_freq), "fp"
     )
@@ -677,7 +749,7 @@ def winnow_group_pairs(
     min_common: int = 2,
     min_overlap: float = 0.0,
     max_group_freq: int = 1000,
-    tier: str = "expr",
+    tier: str = "kernel",
 ) -> DataFrame:
     """(a_grp, b_grp, common, overlap) — GROUP-level clone pairs (repo
     vs repo, crawl-source vs crawl-source): a group's fingerprint set is
@@ -735,7 +807,7 @@ def build_winnow_index(
     text_col: str = "text",
     k: int = 8,
     window: int = 6,
-    tier: str = "expr",
+    tier: str = "kernel",
 ) -> DataFrame:
     """(doc_id, fp, n_fp) — the persisted corpus-side clone index: the
     winnowing posting table with each document's total fingerprint count
@@ -744,9 +816,12 @@ def build_winnow_index(
     ``save_winnow_index``; each batch then joins against the stored
     postings instead of re-hashing the corpus — the same S6
     index-persistence pattern as build_minhash_index."""
-    fp = winnow_fingerprints(corpus_df, id_col, text_col, k, window, tier)
-    sized = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    return fp.join(sized, "doc_id")
+    # n_fp rides along from the fingerprint stage (the minima-set size is
+    # known at generation) — the former groupBy + self-join re-derived it
+    # with two extra exchanges of the full posting table (guide §2.4)
+    return winnow_fingerprints(
+        corpus_df, id_col, text_col, k, window, tier, with_counts=True
+    )
 
 
 def save_winnow_index(index_df: DataFrame, path: str) -> None:
@@ -768,7 +843,7 @@ def winnow_join(
     min_overlap: float = 0.0,
     max_doc_freq: int = 1000,
     corpus_index: DataFrame | None = None,
-    tier: str = "expr",
+    tier: str = "kernel",
 ) -> DataFrame:
     """Asymmetric clone join: (new_id, corpus_id, common, overlap) for a
     new batch against an existing corpus — the daily-increment clone

@@ -161,6 +161,33 @@ def test_winnow_kernel_tier_equals_expr_through_pairs(spark):
     assert out["expr"] == out["kernel"] and out["expr"]
 
 
+def test_winnow_with_counts_matches_posting_groupby(spark):
+    """with_counts=True (n_fp emitted at fingerprint generation — the
+    optimization that removed the index build's posting groupBy +
+    self-join) must agree exactly, per tier, with re-deriving n_fp by
+    counting the posting table; rows without counts are unchanged."""
+    files = synth.repos_files(spark, n=40, cluster_size=4, dup_fraction=0.5)
+    docs = files.select(
+        F.col("row_id").alias("doc_id"), F.col("content").alias("text")
+    )
+    for tier in ("expr", "kernel"):
+        fp = D.winnow_fingerprints(docs, k=K, window=W, tier=tier)
+        derived = {
+            (r.doc_id, r.fp, r.n_fp)
+            for r in fp.join(
+                fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp")),
+                "doc_id",
+            ).collect()
+        }
+        emitted = {
+            (r.doc_id, r.fp, r.n_fp)
+            for r in D.winnow_fingerprints(
+                docs, k=K, window=W, tier=tier, with_counts=True
+            ).collect()
+        }
+        assert emitted == derived and emitted, tier
+
+
 def test_winnow_pairs_df_cap_drops_boilerplate(spark):
     # two docs whose ONLY shared content is a boilerplate block present
     # in every doc: with the cap at 3 the boilerplate fingerprints are
@@ -247,9 +274,11 @@ def test_winnow_plan_stays_staged(spark):
     push a size>0 filter below the staged projections, inlining the
     whole pipeline into a Filter that re-hashes the stream per window
     slice — O(len^2) per document."""
+    # tier pinned: the staging property under guard is specific to the
+    # expr (JVM HOF) pipeline; the default tier is the Arrow kernel
     df = D.winnow_fingerprints(
         spark.createDataFrame([(1, "x" * 50)], "doc_id long, text string"),
-        k=K, window=W,
+        k=K, window=W, tier="expr",
     )
     buf = io.StringIO()
     with redirect_stdout(buf):
