@@ -59,6 +59,7 @@ def blocked_pairs(
     key: str,
     id_col: str = "doc_id",
     max_block: int = 256,
+    carry: dict[str, F.Column] | None = None,
 ) -> DataFrame:
     """(a_id, b_id, a_key, b_key) for every unordered id<id pair sharing
     a blocking key, skipping blocks larger than ``max_block`` rows.
@@ -71,11 +72,19 @@ def blocked_pairs(
     the same HAVING filter. The sizes join is a plain equi-join (the
     block-count table scales with distinct keys — never broadcast by
     hand; AQE may still decide to).
+
+    ``carry``: optional {name: Column} of extra per-record expressions
+    computed ONCE per record (before the pair join) and carried to both
+    sides as ``a_<name>`` / ``b_<name>`` — the way per-key filter
+    signatures (e.g. character-count vectors) ride along at O(records)
+    instead of being recomputed O(pairs) times.
     """
+    carry = carry or {}
     keyed = df.select(
         F.col(id_col).alias("_id"),
         F.expr(block).alias("_blk"),
         F.expr(key).alias("_key"),
+        *[c.alias(f"_c_{n}") for n, c in carry.items()],
     )
     ok = (
         keyed.groupBy("_blk")
@@ -88,11 +97,13 @@ def blocked_pairs(
         F.col("_blk"),
         F.col("_id").alias("a_id"),
         F.col("_key").alias("a_key"),
+        *[F.col(f"_c_{n}").alias(f"a_{n}") for n in carry],
     )
     b = keyed.select(
         F.col("_blk"),
         F.col("_id").alias("b_id"),
         F.col("_key").alias("b_key"),
+        *[F.col(f"_c_{n}").alias(f"b_{n}") for n in carry],
     )
     return a.join(b, "_blk").filter(F.col("a_id") < F.col("b_id")).drop("_blk")
 
@@ -175,14 +186,84 @@ def _jaro_winkler_py(s1: str, s2: str) -> float:
     return j
 
 
+_JW_COUNTED_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _jw_count_vec(key: F.Column) -> F.Column:
+    """37-bucket character-count vector of a comparison key (the 36
+    counted chars + an 'other' bucket), as codegen exprs — computed ONCE
+    per record and carried through the pair join (O(records), not
+    O(pairs): evaluating the 72 replace() scans per PAIR was measured to
+    blow the whole-stage-codegen method limit and fall back to
+    interpreted eval at ~100x the cost)."""
+    s = F.coalesce(key, F.lit(""))
+    ln = F.length(s)
+    cnts = [ln - F.length(F.replace(s, F.lit(c))) for c in _JW_COUNTED_CHARS]
+    total = cnts[0]
+    for c in cnts[1:]:
+        total = total + c
+    return F.array(*cnts, ln - total)
+
+
+def _jw_bound_from(a: F.Column, b: F.Column, mb: F.Column) -> F.Column:
+    """The Jaro-Winkler upper bound given the multiset-intersection
+    bound ``mb`` (see _jw_upper_bound for the derivation); shared by the
+    inline per-pair path and the carried-count-vector path so both
+    produce bit-identical bound values."""
+    la = F.length(a)
+    lb = F.length(b)
+    mn = F.least(la, lb).cast("double")
+    mx = F.greatest(la, lb).cast("double")
+    j_len = F.when(mx > 0.0, (F.lit(2.0) + mn / mx) / F.lit(3.0)).otherwise(
+        F.lit(0.0)
+    )
+    mbd = mb.cast("double")
+    j_ms = F.when(
+        mn > 0.0,
+        (mbd / la.cast("double") + mbd / lb.cast("double") + F.lit(1.0))
+        / F.lit(3.0),
+    ).otherwise(F.lit(0.0))
+    j_ub = F.least(j_len, j_ms)
+    p = F.lit(0)
+    for i in range(1, 5):
+        p = p + (F.substring(a, 1, i) == F.substring(b, 1, i)).cast("int")
+    return F.when(
+        j_ub > 0.7,
+        j_ub + F.lit(0.1) * p.cast("double") * (F.lit(1.0) - j_ub),
+    ).otherwise(j_ub)
+
+
+def _mb_from_vecs(a_cnt: F.Column, b_cnt: F.Column) -> F.Column:
+    """Multiset-intersection bound from two carried count vectors: one
+    zip_with(least) + aggregate(sum) — ~75 interpreted int ops per pair,
+    orders of magnitude under the per-pair replace() scans."""
+    return F.aggregate(
+        F.zip_with(a_cnt, b_cnt, lambda x, y: F.least(x, y)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _jw_upper_bound(a_key: str, b_key: str) -> F.Column:
     """Whole-stage-codegen UPPER BOUND on Jaro-Winkler similarity from
-    lengths + exact common-prefix length only — the provably non-lossy
-    JVM prefilter gate for jaro_winkler_pairs.
+    lengths, exact common-prefix length and the character-multiset
+    intersection (the classic counting filter of string-similarity
+    joins) — the provably non-lossy JVM prefilter gate for
+    jaro_winkler_pairs.
 
     Derivation (textbook JW, the exact kernel below):
       - Jaro j = (m/l1 + m/l2 + (m-t)/m) / 3 with m <= min(l1, l2), so
-        j <= j_ub := (2 + min/max) / 3          [m(1/l1+1/l2) <= 1+min/max]
+        j <= (2 + min/max) / 3                  [m(1/l1+1/l2) <= 1+min/max]
+      - every Jaro match pairs EQUAL characters and consumes one
+        occurrence on each side, so m is also bounded by the character-
+        multiset intersection: m <= mb := sum over counted chars c of
+        min(cnt_a(c), cnt_b(c)) + min(other_a, other_b), where other =
+        length minus counted occurrences (uncounted characters can only
+        match each other). With (m-t)/m <= 1:
+          j <= (mb/l1 + mb/l2 + 1) / 3
+        Both bounds hold, hence j <= j_ub := least of the two.
+        Per-character counts are codegen exprs:
+        cnt(s, c) = length(s) - length(replace(s, c)).
       - Winkler jw = j + 0.1*p*(1-j) applies only when j > 0.7, with p =
         common-prefix length capped at 4; jw is INCREASING in j
         (slope 1 - 0.1p >= 0.6), hence for all j <= j_ub:
@@ -195,21 +276,21 @@ def _jw_upper_bound(a_key: str, b_key: str) -> F.Column:
     rounded f64 ops; callers compare against threshold - 1e-9 so a few
     ulps of evaluation error can never drop a true >= threshold pair.
     Empty/null keys give bound 0 — the kernel scores them 0.0, so
-    dropping them is lossless whenever threshold > 0."""
+    dropping them is lossless whenever threshold > 0. The oracle row of
+    ``jaro_winkler_pairs`` (full JW recomputed in SQL, no prefilter)
+    re-certifies losslessness every round.
+
+    This standalone form computes the count vectors inline per pair (it
+    only sees the two key columns) — correct anywhere, but meant for
+    one-off counts and tests; the hot path in jaro_winkler_pairs carries
+    _jw_count_vec per RECORD through the pair join instead and applies
+    the bit-identical _jw_bound_from/_mb_from_vecs bound (O(records)
+    counting, small per-pair HOF)."""
     a = F.coalesce(F.col(a_key), F.lit(""))
     b = F.coalesce(F.col(b_key), F.lit(""))
-    mn = F.least(F.length(a), F.length(b)).cast("double")
-    mx = F.greatest(F.length(a), F.length(b)).cast("double")
-    j_ub = F.when(mx > 0.0, (F.lit(2.0) + mn / mx) / F.lit(3.0)).otherwise(
-        F.lit(0.0)
+    return _jw_bound_from(
+        a, b, _mb_from_vecs(_jw_count_vec(a), _jw_count_vec(b))
     )
-    p = F.lit(0)
-    for i in range(1, 5):
-        p = p + (F.substring(a, 1, i) == F.substring(b, 1, i)).cast("int")
-    return F.when(
-        j_ub > 0.7,
-        j_ub + F.lit(0.1) * p.cast("double") * (F.lit(1.0) - j_ub),
-    ).otherwise(j_ub)
 
 
 def jaro_winkler_pairs(
@@ -263,12 +344,24 @@ def jaro_winkler_pairs(
     # ArrowEvalPython nodes; 2x the python cost of the whole operator)
     jw_udf = F.pandas_udf(_jw_batch, DoubleType()).asNondeterministic()
 
-    pairs = blocked_pairs(df, block, key, id_col, max_block)
     if prefilter and threshold > 0:
-        pairs = pairs.filter(
-            _jw_upper_bound("a_key", "b_key")
-            >= F.lit(float(threshold) - 1e-9)
+        # count vectors ride the pair join from the record side
+        # (O(records) replace() scans, codegen); the per-pair work is
+        # the small zip_with/aggregate HOF + the closed-form bound
+        pairs = blocked_pairs(
+            df, block, key, id_col, max_block,
+            carry={"cnt": _jw_count_vec(F.expr(key))},
         )
+        pairs = pairs.filter(
+            _jw_bound_from(
+                F.coalesce(F.col("a_key"), F.lit("")),
+                F.coalesce(F.col("b_key"), F.lit("")),
+                _mb_from_vecs(F.col("a_cnt"), F.col("b_cnt")),
+            )
+            >= F.lit(float(threshold) - 1e-9)
+        ).select("a_id", "b_id", "a_key", "b_key")
+    else:
+        pairs = blocked_pairs(df, block, key, id_col, max_block)
     scored = pairs.withColumn("_jw", jw_udf("a_key", "b_key"))
     return scored.filter(F.col("_jw") >= F.lit(float(threshold))).select(
         "a_id",
