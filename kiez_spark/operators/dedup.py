@@ -504,9 +504,9 @@ def _winnow_fps_kernel(
             return np.unique(swv(hs, window).min(axis=1))
 
         for pdf in batches:
-            keys_out: list = []
+            out_keys: list = []   # one entry per DOC; repeated vectorized
+            out_counts: list = []
             fps_out: list = []
-            nfp_out: list = []
             # ASCII fast path: concatenate every pure-ASCII normalized
             # doc into ONE byte buffer and hash ALL k-grams in a single
             # vectorized-MD5 pass (md5vec, ~4x the hashlib loop); grams
@@ -542,9 +542,9 @@ def _winnow_fps_kernel(
                     count=m,
                 )
                 fps = minima(hs, m)
-                keys_out.extend([key] * len(fps))
+                out_keys.append(key)
+                out_counts.append(len(fps))
                 fps_out.append(fps)
-                nfp_out.extend([len(fps)] * len(fps))
             if fast_keys:
                 buf = np.frombuffer(b"".join(fast_parts), dtype=np.uint8)
                 hs_all = md5_windows_60bit(buf, k)
@@ -552,18 +552,27 @@ def _winnow_fps_kernel(
                 for key, ln in zip(fast_keys, fast_lens):
                     m = ln - k + 1
                     fps = minima(hs_all[off : off + m], m)
-                    keys_out.extend([key] * len(fps))
+                    out_keys.append(key)
+                    out_counts.append(len(fps))
                     fps_out.append(fps)
-                    nfp_out.extend([len(fps)] * len(fps))
                     off += ln
+            # output assembly is vectorized: per-doc keys/counts repeat
+            # via np.repeat instead of building multi-million-element
+            # python lists (list.extend of [key]*n was ~a third of the
+            # kernel's wall at 6.9M output rows)
+            counts = np.asarray(out_counts, dtype=np.int64)
             cols = {
-                "_key": pd.Series(keys_out),
+                "_key": pd.Series(
+                    np.repeat(np.asarray(out_keys), counts)
+                    if out_keys
+                    else []
+                ),
                 "fp": np.concatenate(fps_out)
                 if fps_out
                 else np.array([], dtype=np.int64),
             }
             if with_counts:
-                cols["n_fp"] = np.asarray(nfp_out, dtype=np.int64)
+                cols["n_fp"] = np.repeat(counts, counts)
             yield pd.DataFrame(cols)
 
     target = df.sparkSession.sparkContext.defaultParallelism
