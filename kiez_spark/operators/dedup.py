@@ -50,7 +50,11 @@ def exact_duplicates(
 
 
 def _with_shingles(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    tier: str = "kernel",
 ) -> DataFrame:
     """(doc_id, sh ARRAY<BIGINT>) — the distinct 60-bit-hashed shingle
     set. Shingles are hashed (md5-based token_hash, cross-engine stable)
@@ -61,7 +65,17 @@ def _with_shingles(
     scale) ~2.5x and making set intersections integer compares. Two
     shingles colliding at 60 bits would merge a set element (P ~
     n_shingles^2 / 2^61 per doc, ~4e-15 at 100 shingles); the DuckDB
-    oracles apply the same hash, so cross-engine parity is exact."""
+    oracles apply the same hash, so cross-engine parity is exact.
+
+    Two tiers, bit-identical output (the winnowing tier convention):
+    ``kernel`` (default) runs the vectorized Arrow kernel below —
+    measured ~3x the expr tier, whose interpreted shingle HOF builds a
+    slice + concat_ws string per token window at ~12 us each; ``expr``
+    keeps everything JVM-side (the no-python-worker fallback)."""
+    if tier not in ("expr", "kernel"):
+        raise ValueError(f"unknown shingle tier {tier!r} (expr|kernel)")
+    if tier == "kernel":
+        return _shingle_sig_kernel(df, id_col, text_col, shingle_n, 0)
     # an under-partitioned source (a scan with few file splits) would run
     # the whole tokenize+shingle stage on a couple of cores — spread it to
     # the cluster's parallelism first (no-op on well-partitioned inputs;
@@ -78,6 +92,178 @@ def _with_shingles(
     )
 
 
+def _shingle_sig_kernel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    n_hashes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-kernel twin of the expr shingle pipeline, optionally fused
+    with the minhash signature: (doc_id, sh[, sig]) with output
+    bit-identical to ``_with_shingles(tier="expr")`` [+
+    ``minhash_from_hashes``] — parity-tested in tests/test_dedup_text.py
+    and re-certified by every shingle-consuming DuckDB oracle row.
+
+    Why it is fast (guide §4.2): a word n-gram shingle string is exactly
+    a BYTE SUBSTRING of the normalized text (tokens joined by single
+    spaces), so the kernel never builds a single shingle string — it
+    computes token-boundary offsets over the batch's concatenated utf-8
+    buffer (one np.where on the space byte; 0x20 never occurs inside a
+    multi-byte utf-8 sequence, so byte slicing is exact for ANY unicode
+    text), groups the shingle spans by byte length and hashes each
+    group's stacked matrix with the vectorized single-block MD5
+    (functions/md5vec.md5_rows_60bit); per-doc first-occurrence distinct
+    (array_distinct's order) and the 16 signature minima
+    (np.minimum.reduceat over (a*h+b) % p) are vectorized over the whole
+    batch. The expr tier evaluates an interpreted slice+concat_ws+md5
+    HOF per token window instead (~12 us each, measured).
+
+    Cross-engine normalization, matched to the expr tier exactly (the
+    winnow-kernel conventions): Python ``\\s`` is pinned to re.ASCII
+    (Java's class); ``str.lower()`` twins UTF8String.toLowerCase —
+    identical on ASCII, the locale-independent JVM mapping elsewhere
+    (same convention the default winnow kernel tier carries); Spark's
+    ``trim`` strips 0x20 only, = ``.strip(" ")``. Shingles longer than
+    55 utf-8 bytes (multi-block MD5) fall back to hashlib per shingle,
+    bit-identical by construction. a*h+b stays < 2^51 (a < 2^21,
+    h mod p < 2^30), so int64 signature arithmetic cannot overflow."""
+    import re as _re
+
+    n = int(shingle_n)
+    if n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    params = T.minhash_params(n_hashes, seed) if n_hashes else []
+    out_schema = "doc_id bigint, sh array<bigint>"
+    if n_hashes:
+        out_schema += ", sig array<bigint>"
+    d0 = df.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(text_col).alias("_txt")
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from kiez_spark.functions.md5vec import md5_rows_60bit
+
+        ws = _re.compile(r"\s+", _re.ASCII)
+        p = T.MINHASH_P
+
+        for pdf in batches:
+            nd = len(pdf)
+            encs = []
+            for t in pdf["_txt"]:
+                s = (t or "").lower()
+                # the \s+ -> " " collapse is an identity unless the text
+                # holds a non-space whitespace char or a double space —
+                # C-speed `in` scans skip the 14 us/doc regex for the
+                # (overwhelmingly common) already-normalized case
+                if (
+                    "\t" in s
+                    or "\n" in s
+                    or "\x0b" in s
+                    or "\x0c" in s
+                    or "\r" in s
+                    or "  " in s
+                ):
+                    s = ws.sub(" ", s)
+                encs.append(s.strip(" ").encode("utf-8"))
+            lens = np.fromiter((len(e) for e in encs), np.int64, nd)
+            off = np.zeros(nd + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            raw = b"".join(encs)
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            sp = np.flatnonzero(buf == 0x20)
+            nonempty = lens > 0
+            # normalized docs have no leading/trailing/double spaces, so
+            # tokens per doc = spaces-in-doc + 1; shingle spans never
+            # cross docs because each doc only indexes its own tokens
+            tok_per_doc = np.where(
+                nonempty,
+                np.bincount(
+                    np.searchsorted(off[1:], sp, side="right"), minlength=nd
+                )
+                + 1,
+                0,
+            )
+            m = np.where(tok_per_doc >= n, tok_per_doc - (n - 1), 0)
+            total_m = int(m.sum())
+            m_off = np.zeros(nd + 1, np.int64)
+            np.cumsum(m, out=m_off[1:])
+            if total_m:
+                # global token boundary streams, sorted = per-doc order
+                tok_starts = np.sort(
+                    np.concatenate([off[:-1][nonempty], sp + 1])
+                )
+                tok_ends = np.sort(np.concatenate([sp, off[1:][nonempty]]))
+                tok_off = np.zeros(nd + 1, np.int64)
+                np.cumsum(tok_per_doc, out=tok_off[1:])
+                within = np.arange(total_m) - np.repeat(m_off[:-1], m)
+                tidx = np.repeat(tok_off[:-1], m) + within
+                sh_start = tok_starts[tidx]
+                sh_len = tok_ends[tidx + (n - 1)] - sh_start
+                hashes = np.empty(total_m, np.int64)
+                order = np.argsort(sh_len, kind="stable")
+                sl = sh_len[order]
+                lo = 0
+                mv = memoryview(raw)
+                for hi in [*np.flatnonzero(np.diff(sl)) + 1, total_m]:
+                    idx = order[lo:hi]
+                    ln = int(sl[lo])
+                    lo = hi
+                    if ln <= 55:
+                        mat = buf[sh_start[idx][:, None] + np.arange(ln)]
+                        hashes[idx] = md5_rows_60bit(mat)
+                    else:
+                        md5 = hashlib.md5
+                        hashes[idx] = [
+                            int.from_bytes(
+                                md5(mv[s0 : s0 + ln]).digest()[:8], "big"
+                            )
+                            >> 4
+                            for s0 in sh_start[idx]
+                        ]
+                doc_of_sh = np.repeat(np.arange(nd), m)
+                keep = (
+                    ~pd.DataFrame({"d": doc_of_sh, "h": hashes})
+                    .duplicated()
+                    .to_numpy()
+                )
+                kept = hashes[keep]
+                k_off = np.zeros(nd + 1, np.int64)
+                np.cumsum(
+                    np.bincount(doc_of_sh[keep], minlength=nd), out=k_off[1:]
+                )
+                sh_col = [kept[k_off[i] : k_off[i + 1]] for i in range(nd)]
+            else:
+                empty = np.empty(0, np.int64)
+                sh_col = [empty] * nd
+            cols = {"doc_id": pdf["_id"].to_numpy(), "sh": sh_col}
+            if n_hashes:
+                # min over the multiset == min over the distinct set, so
+                # the signature reduces the pre-distinct hash stream
+                sig = np.full((nd, n_hashes), p, np.int64)
+                if total_m:
+                    hmod = hashes % p
+                    ne = m > 0
+                    starts = m_off[:-1][ne]
+                    for j, (a, b) in enumerate(params):
+                        sig[ne, j] = np.minimum.reduceat(
+                            (a * hmod + b) % p, starts
+                        )
+                cols["sig"] = list(sig)
+            yield pd.DataFrame(cols)
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if d0.rdd.getNumPartitions() < target:
+        d0 = d0.repartition(target)
+    return d0.mapInPandas(kernel, schema=out_schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -85,10 +271,17 @@ def minhash_signatures(
     n_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    tier: str = "kernel",
 ) -> DataFrame:
-    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one pass, column exprs only."""
+    """(doc_id, sig ARRAY<BIGINT>[n_hashes]) — one pass; the kernel tier
+    fuses shingling and the signature minima in one Arrow pass, the expr
+    tier is column exprs only (both bit-identical, see _with_shingles)."""
+    if tier == "kernel":
+        return _shingle_sig_kernel(
+            df, id_col, text_col, shingle_n, n_hashes, seed
+        ).select("doc_id", "sig")
     params = T.minhash_params(n_hashes, seed)
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+    shingled = _with_shingles(df, id_col, text_col, shingle_n, tier).withColumn(
         # sh already holds the 60-bit md5 hash (computed once at shingle
         # creation); only the mod-P reduction is per-signature work
         "hmod",
@@ -107,24 +300,34 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    tier: str = "kernel",
 ) -> DataFrame:
     """Near-duplicate pairs (src_id, tgt_id, jaccard) with exact-Jaccard
     verification: banding surfaces candidates (any band equal), the
     shingle-set join verifies. src_id < tgt_id."""
     assert n_hashes % bands == 0
     # the shingled table feeds the signatures AND both verification sides
-    # — persist so shingling (regex + slice + concat per token window)
-    # runs once, not three times. Lifetime: the cache entry must outlive
+    # — persist so shingling (one Arrow kernel pass on the default tier;
+    # regex + slice + concat per token window on the expr tier) runs
+    # once, not three times. Lifetime: the cache entry must outlive
     # the returned LAZY plan, so it is not unpersisted here; it is
     # MEMORY_AND_DISK-LRU-evicted under pressure, and batch drivers that
     # chain many dedup jobs should spark.catalog.clearCache() between them.
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).persist()
-    params = T.minhash_params(n_hashes, seed)
-    hmod = F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P))
-    sig = F.array(
-        *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
-    )
-    sigs = shingled.withColumn("_hmod", hmod).select("doc_id", sig.alias("sig"))
+    if tier == "kernel":
+        # the kernel emits the signature in the same pass — the persisted
+        # table carries (sh, sig), so banding never re-reads the texts
+        shingled = _shingle_sig_kernel(
+            df, id_col, text_col, shingle_n, n_hashes, seed
+        ).persist()
+        sigs = shingled.select("doc_id", "sig")
+    else:
+        shingled = _with_shingles(df, id_col, text_col, shingle_n, tier).persist()
+        params = T.minhash_params(n_hashes, seed)
+        hmod = F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P))
+        sig = F.array(
+            *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
+        )
+        sigs = shingled.withColumn("_hmod", hmod).select("doc_id", sig.alias("sig"))
     banded = _banded_keys(sigs, n_hashes, bands)
     cand = (
         banded.alias("a")
@@ -184,6 +387,7 @@ def build_minhash_index(
     n_hashes: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    tier: str = "kernel",
 ) -> DataFrame:
     """(doc_id, sh, sig) — the reusable corpus-side dedup index: distinct
     shingle sets (the verification side) plus the minhash signature (the
@@ -191,13 +395,17 @@ def build_minhash_index(
     version; every increment then joins against the stored table instead
     of re-shingling the corpus (the S6 index-persistence pattern,
     operators/lsh.py save_index, applied to the dedup ladder)."""
+    if tier == "kernel":
+        return _shingle_sig_kernel(
+            corpus_df, id_col, text_col, shingle_n, n_hashes, seed
+        )
     params = T.minhash_params(n_hashes, seed)
     hmod = F.transform(F.col("sh"), lambda h: h % F.lit(T.MINHASH_P))
     sig = F.array(
         *[T.minhash_from_hashes(F.col("_hmod"), a, b) for a, b in params]
     )
     return (
-        _with_shingles(corpus_df, id_col, text_col, shingle_n)
+        _with_shingles(corpus_df, id_col, text_col, shingle_n, tier)
         .withColumn("_hmod", hmod)
         .select("doc_id", "sh", sig.alias("sig"))
     )
@@ -222,6 +430,7 @@ def minhash_lsh_join(
     threshold: float = 0.7,
     seed: int = 42,
     corpus_index: DataFrame | None = None,
+    tier: str = "kernel",
 ) -> DataFrame:
     """Asymmetric near-dup join: (new_id, corpus_id, jaccard >= threshold).
 
@@ -260,7 +469,7 @@ def minhash_lsh_join(
 
     def side(df: DataFrame) -> tuple[DataFrame, DataFrame]:
         idx = build_minhash_index(
-            df, id_col, text_col, n_hashes, shingle_n, seed
+            df, id_col, text_col, n_hashes, shingle_n, seed, tier
         ).persist()
         return idx, _banded_keys(idx, n_hashes, bands)
 
@@ -305,6 +514,7 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_doc_freq: int = 1000,
+    tier: str = "kernel",
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via an inverted-index self-join.
 
@@ -314,7 +524,7 @@ def ngram_jaccard_pairs(
     sharing ONLY capped shingles is unreachable, which is acceptable for
     near-dup mining (capped shingles are boilerplate by definition).
     """
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+    shingled = _with_shingles(df, id_col, text_col, shingle_n, tier).withColumn(
         "n_sh", F.size("sh")
     )
     posting = shingled.select(
@@ -350,6 +560,7 @@ def jaccard_prefix_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.7,
+    tier: str = "kernel",
 ) -> DataFrame:
     """(src_id, tgt_id, jaccard) — EXACT Jaccard >= threshold pairs via
     LOSSLESS prefix filtering (AllPairs/PPJoin family, Bayardo et al.,
@@ -387,7 +598,7 @@ def jaccard_prefix_pairs(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    shingled = _with_shingles(df, id_col, text_col, shingle_n).withColumn(
+    shingled = _with_shingles(df, id_col, text_col, shingle_n, tier).withColumn(
         "n_sh", F.size("sh")
     ).persist()
     posting = shingled.select(

@@ -55,6 +55,64 @@ def test_minhash_lsh_finds_planted_dups(spark, dup_docs):
     assert precision > 0.95, f"minhash precision {precision}"
 
 
+def test_shingle_kernel_tier_parity(spark, dup_docs):
+    """The Arrow shingle/signature kernel (default tier) must be
+    bit-identical to the expr tier: same distinct shingle hash sets in
+    the same (first-occurrence) order, same signatures — on planted
+    near-dups AND the normalization edge cases (nulls, empties, unicode,
+    exotic whitespace, shingles >55 utf-8 bytes)."""
+    docs, _ = dup_docs
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "a"),
+            (5, "a b"),
+            (6, "a b c"),
+            (7, "a  b\tc\nd e"),
+            (8, " x y z "),
+            (10, "ümlaut ünïcode tökens hërę extra words"),
+            (11, "\x0bv\x0c f\r n q r"),
+            (12, ("w" * 30 + " ") * 6),  # >55-byte shingles
+            (13, "İstanbul CASE ſtraße test here now"),
+            (15, "dup dup dup dup dup dup"),
+        ],
+        "doc_id long, text string",
+    )
+    for src in (docs, edge):
+        k = D._with_shingles(src, "doc_id", "text", 3, tier="kernel")
+        e = D._with_shingles(src, "doc_id", "text", 3, tier="expr")
+        for rk, re_ in zip(
+            k.orderBy("doc_id").collect(), e.orderBy("doc_id").collect()
+        ):
+            assert rk.doc_id == re_.doc_id and rk.sh == re_.sh
+        sk = D.minhash_signatures(src, n_hashes=16, tier="kernel")
+        se = D.minhash_signatures(src, n_hashes=16, tier="expr")
+        for rk, re_ in zip(
+            sk.orderBy("doc_id").collect(), se.orderBy("doc_id").collect()
+        ):
+            assert rk.doc_id == re_.doc_id and rk.sig == re_.sig
+    pk = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(
+                docs, threshold=0.5, n_hashes=16, bands=8, tier="kernel"
+            ).collect(),
+        )
+    )
+    spark.catalog.clearCache()
+    pe = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(
+                docs, threshold=0.5, n_hashes=16, bands=8, tier="expr"
+            ).collect(),
+        )
+    )
+    assert pk == pe
+
+
 def test_minhash_vs_ngram_jaccard_agree(spark, dup_docs):
     """The LSH-verified pairs must be a subset of exact inverted-index
     Jaccard pairs at the same threshold (both verify exactly)."""
