@@ -1126,21 +1126,163 @@ def winnow_join(
     )
 
 
+def _simhash_kernel(
+    df: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """Arrow-kernel simhash: (doc_id, simhash) bit-identical to the expr
+    tiers (``T.simhash64`` per row / the exploded-vote aggregate) —
+    parity-tested in tests/test_dedup_text.py on nulls, empties, unicode
+    and exotic whitespace.
+
+    The token machinery of ``_shingle_sig_kernel`` at n=1 (token = byte
+    span between 0x20s of the batch's concatenated normalized utf-8
+    buffer, length-grouped vectorized MD5), then a per-bit in-place
+    shift/mask/``np.add.reduceat`` vote — deliberately NOT one
+    (n_tokens, bits) unpacked matrix, whose first-touch page faults cost
+    more than the votes. Null text -> simhash 0 (the expr tiers'
+    null-poisoned accumulator); empty-after-normalization text keeps the
+    expr semantics of split('') == [''] — one empty token whose md5('')
+    bits ARE the vote, so simhash = the 60-bit md5('') constant."""
+    import re as _re
+
+    out_schema = "doc_id bigint, simhash bigint"
+    d0 = df.select(
+        F.col(id_col).cast("bigint").alias("_id"), F.col(text_col).alias("_txt")
+    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        from kiez_spark.functions.md5vec import md5_rows_60bit
+
+        ws = _re.compile(r"\s+", _re.ASCII)
+        h_empty = (
+            int.from_bytes(hashlib.md5(b"").digest()[:8], "big") >> 4
+        )
+
+        for pdf in batches:
+            nd = len(pdf)
+            encs = []
+            isnull = np.zeros(nd, bool)
+            for i, t in enumerate(pdf["_txt"]):
+                if t is None:
+                    isnull[i] = True
+                    encs.append(b"")
+                    continue
+                s = t.lower()
+                if (
+                    "\t" in s
+                    or "\n" in s
+                    or "\x0b" in s
+                    or "\x0c" in s
+                    or "\r" in s
+                    or "  " in s
+                ):
+                    s = ws.sub(" ", s)
+                encs.append(s.strip(" ").encode("utf-8"))
+            lens = np.fromiter((len(e) for e in encs), np.int64, nd)
+            off = np.zeros(nd + 1, np.int64)
+            np.cumsum(lens, out=off[1:])
+            raw = b"".join(encs)
+            buf = np.frombuffer(raw, dtype=np.uint8)
+            sp = np.flatnonzero(buf == 0x20)
+            nonempty = lens > 0
+            tok_per_doc = np.where(
+                nonempty,
+                np.bincount(
+                    np.searchsorted(off[1:], sp, side="right"), minlength=nd
+                )
+                + 1,
+                0,
+            )
+            total_t = int(tok_per_doc.sum())
+            simhash = np.zeros(nd, np.int64)
+            if total_t:
+                tok_starts = np.sort(
+                    np.concatenate([off[:-1][nonempty], sp + 1])
+                )
+                t_len = (
+                    np.sort(np.concatenate([sp, off[1:][nonempty]]))
+                    - tok_starts
+                )
+                hashes = np.empty(total_t, np.int64)
+                order = np.argsort(t_len, kind="stable")
+                sl = t_len[order]
+                lo = 0
+                mv = memoryview(raw)
+                for hi in [*np.flatnonzero(np.diff(sl)) + 1, total_t]:
+                    idx = order[lo:hi]
+                    ln = int(sl[lo])
+                    lo = hi
+                    if ln <= 55:
+                        mat = buf[tok_starts[idx][:, None] + np.arange(ln)]
+                        hashes[idx] = md5_rows_60bit(mat)
+                    else:
+                        md5 = hashlib.md5
+                        hashes[idx] = [
+                            int.from_bytes(
+                                md5(mv[s0 : s0 + ln]).digest()[:8], "big"
+                            )
+                            >> 4
+                            for s0 in tok_starts[idx]
+                        ]
+                ne = tok_per_doc > 0
+                t_off = np.zeros(nd + 1, np.int64)
+                np.cumsum(tok_per_doc, out=t_off[1:])
+                ne_starts = t_off[:-1][ne]
+                m = tok_per_doc[ne]
+                sim_ne = np.zeros(len(m), np.int64)
+                scratch = np.empty(total_t, np.int64)
+                for b in range(bits):
+                    np.right_shift(hashes, b, out=scratch)
+                    np.bitwise_and(scratch, 1, out=scratch)
+                    # bit b set iff the ±1 vote sum is > 0, i.e. ones
+                    # outnumber zeros: 2*count_ones > n_tokens
+                    sim_ne |= (
+                        2 * np.add.reduceat(scratch, ne_starts) > m
+                    ).astype(np.int64) << b
+                simhash[ne] = sim_ne
+            empty_doc = (~isnull) & (lens == 0)
+            simhash[empty_doc] = h_empty & ((1 << bits) - 1)
+            yield pd.DataFrame(
+                {"doc_id": pdf["_id"].to_numpy(), "simhash": simhash}
+            )
+
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if d0.rdd.getNumPartitions() < target:
+        d0 = d0.repartition(target)
+    return d0.mapInPandas(kernel, schema=out_schema)
+
+
 def simhash_fingerprints(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    tier: str = "kernel",
 ) -> DataFrame:
     """(doc_id, simhash BIGINT).
 
-    Batch tier: explode the token hashes and majority-vote each bit with
-    whole-stage-codegen sums + map-side partial aggregation (guide
-    §2.3/§4.1) instead of ``bits`` interpreted HOF array traversals per
-    row — bit-identical to ``T.simhash64`` (kept for the per-row
-    streaming path, which cannot aggregate): per-token vote is the same
-    ±1 integer, bit b is set iff the integer vote sum is > 0, and a
-    null token array (null text) yields all-null votes, hence simhash 0,
-    exactly like the HOF's null-poisoned accumulator. Token hashes are
-    never null for non-null tokens (md5 of a string), so per-element
-    null semantics cannot diverge."""
+    ``tier="kernel"`` (default): one vectorized Arrow pass
+    (_simhash_kernel) — no exploded-token shuffle at all, and a plan of
+    one node instead of the 60-aggregate tree (whose driver-side
+    analysis alone is measurable). ``tier="expr"``: explode the token
+    hashes and majority-vote each bit with whole-stage-codegen sums +
+    map-side partial aggregation (guide §2.3/§4.1) — the no-python-
+    worker fallback. Both bit-identical to ``T.simhash64`` (kept for the
+    per-row streaming path, which cannot aggregate): per-token vote is
+    the same ±1 integer, bit b is set iff the integer vote sum is > 0,
+    and a null token array (null text) yields all-null votes, hence
+    simhash 0, exactly like the HOF's null-poisoned accumulator. Token
+    hashes are never null for non-null tokens (md5 of a string), so
+    per-element null semantics cannot diverge."""
+    if tier not in ("expr", "kernel"):
+        raise ValueError(f"unknown simhash tier {tier!r} (expr|kernel)")
+    if tier == "kernel":
+        return _simhash_kernel(df, id_col, text_col, bits)
     h = df.select(
         F.col(id_col).cast("bigint").alias("doc_id"),
         F.explode_outer(T.tokens(F.col(text_col))).alias("_t"),
@@ -1170,6 +1312,7 @@ def simhash_pairs(
     max_hamming: int = 6,
     bits: int = 60,
     bands: int = 4,
+    tier: str = "kernel",
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming. Banding on bit slices:
     any pair within max_hamming < bands must agree on >= 1 band
@@ -1177,7 +1320,7 @@ def simhash_pairs(
     max_hamming <= bands - 1 differing *bands*; with uniformly spread bit
     flips this holds overwhelmingly — the verification filter is exact."""
     band_bits = bits // bands
-    fp = simhash_fingerprints(df, id_col, text_col, bits)
+    fp = simhash_fingerprints(df, id_col, text_col, bits, tier)
     banded = fp.select(
         "doc_id",
         "simhash",

@@ -113,6 +113,35 @@ def test_shingle_kernel_tier_parity(spark, dup_docs):
     assert pk == pe
 
 
+def test_simhash_kernel_tier_parity(spark, dup_docs):
+    """The Arrow simhash kernel (default tier) must be bit-identical to
+    the exploded-vote expr tier — including null text (simhash 0) and
+    empty-after-normalization text (split('') == [''] semantics: the
+    vote of md5(''), i.e. the 60-bit md5('') constant)."""
+    docs, _ = dup_docs
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "   "),
+            (4, "a"),
+            (5, "a b"),
+            (7, "a  b\tc\nd e"),
+            (10, "ümlaut ünïcode tökens hërę extra words"),
+            (11, "\x0bv\x0c f\r n q r"),
+            (12, ("w" * 30 + " ") * 6),
+            (14, "w" * 80),  # one >55-byte token
+        ],
+        "doc_id long, text string",
+    )
+    for src in (docs, edge):
+        k = D.simhash_fingerprints(src, tier="kernel").orderBy("doc_id").collect()
+        e = D.simhash_fingerprints(src, tier="expr").orderBy("doc_id").collect()
+        assert len(k) == len(e)
+        for rk, re_ in zip(k, e):
+            assert rk.doc_id == re_.doc_id and rk.simhash == re_.simhash
+
+
 def test_minhash_vs_ngram_jaccard_agree(spark, dup_docs):
     """The LSH-verified pairs must be a subset of exact inverted-index
     Jaccard pairs at the same threshold (both verify exactly)."""
