@@ -20,43 +20,53 @@ an edge-set checksum (count + xor of pair hashes), two scalars per round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """edges: directed pairs (u, v); treats them symmetrically."""
+    """edges: directed pairs (u, v); treats them symmetrically.
+
+    The per-node neighborhood min is a WINDOW over u, not a
+    groupBy+join: both need every sym row keyed by u, but the window
+    computes m and keeps the rows in ONE exchange while the join version
+    shuffles sym a second time to meet the aggregated min table (guide
+    §2.4) — one full edge-set shuffle saved per CC round. No .distinct()
+    here: duplicate (v, m) rows cannot change the min aggregations
+    downstream and _small_star (the only consumer, always composed right
+    after) ends in a global distinct that canonicalizes the round's
+    checkpointed edge set; the rows a round moves stay bounded by
+    |sym| = 2|E| either way."""
     sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    nbr_min = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
-        "u", F.least("mv", "u").alias("m")
-    )
-    # no .distinct() here: duplicate (v, m) rows cannot change the min
-    # aggregations downstream and _small_star (the only consumer, always
-    # composed right after) ends in a global distinct that canonicalizes
-    # the round's checkpointed edge set — dropping the intermediate
-    # exchange removes one shuffle per CC round (guide §2.4); the rows a
-    # round moves stay bounded by |sym| = 2|E| either way
+    w = Window.partitionBy("u")
     return (
-        sym.join(nbr_min, "u")
+        sym.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    # orient toward smaller ids: u keeps neighbors v <= u
+    # orient toward smaller ids: u keeps neighbors v <= u. Same
+    # window-over-u shape as _large_star (one exchange); the (v, m) +
+    # (u, m) emissions ride ONE pass via explode — (u, m) repeats per
+    # row instead of once per group, which the trailing distinct (the
+    # round's canonicalizer, needed regardless) absorbs.
     oriented = edges.select(
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
-    nbr_min = oriented.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        oriented.join(nbr_min, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionByName(nbr_min.select(F.col("u"), F.col("m").alias("v")))
+    w = Window.partitionBy("u")
+    withm = oriented.withColumn("m", F.min("v").over(w))
+    pair = F.array(
+        F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+        F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+    )
+    return (
+        withm.select(F.explode(pair).alias("e"))
+        .select("e.u", "e.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    return out
 
 
 def _checksum(edges: DataFrame) -> tuple[int, int]:
