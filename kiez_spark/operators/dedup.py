@@ -598,6 +598,12 @@ def jaccard_prefix_pairs(
     t = float(threshold)
     if not 0.0 < t <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    # persisted because the shingle table feeds the posting/df/prefix
+    # chain AND both verification sides. Lifetime (the minhash_lsh_pairs
+    # cache convention): the entry must outlive the returned LAZY plan,
+    # so it is not unpersisted here — MEMORY_AND_DISK-LRU-evicted under
+    # pressure; drivers chaining many dedup jobs should
+    # spark.catalog.clearCache() between them.
     shingled = _with_shingles(df, id_col, text_col, shingle_n, tier).withColumn(
         "n_sh", F.size("sh")
     ).persist()
