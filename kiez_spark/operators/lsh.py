@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kiez_spark.functions.vectors import distance_expr
+from kiez_spark.functions.vectors import distance_expr, dot, l2_norm
 
 
 def _projections(dim: int, n_tables: int, n_bits: int, seed: int) -> np.ndarray:
@@ -106,6 +106,32 @@ def signatures(
     return src.mapInPandas(kernel, schema="id bigint, table int, sig bigint")
 
 
+def _rescore(pairs: DataFrame, qv: DataFrame, xv: DataFrame, metric: str) -> DataFrame:
+    """Exact rescoring of candidate pairs against the vector tables.
+
+    For cosine the two per-pair norm traversals factor out to the
+    per-ID vector projections (computed once per entity, not once per
+    candidate pair — the interpreted array HOFs are the rescoring cost);
+    the pair expression keeps the exact operand shape of
+    ``cosine_distance`` (denom = l2(a)*l2(b), 1 - dot/denom), so the f64
+    results are bit-identical — verified on every scored pair. Other
+    metrics have no factorable term and keep ``distance_expr``."""
+    if metric in ("cosine", "cos"):
+        qv = qv.withColumn("_qn", l2_norm(F.col("qv")))
+        xv = xv.withColumn("_xn", l2_norm(F.col("xv")))
+        denom = F.col("_qn") * F.col("_xn")
+        dist = F.when(denom == 0.0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - dot(F.col("qv"), F.col("xv")) / denom
+        )
+    else:
+        dist = distance_expr(F.col("qv"), F.col("xv"), metric)
+    return (
+        pairs.join(qv, "query_id")
+        .join(xv, "cand_id")
+        .select("query_id", "cand_id", dist.alias("dist"))
+    )
+
+
 def lsh_candidates(
     queries: DataFrame,
     index: DataFrame,
@@ -145,15 +171,7 @@ def lsh_candidates(
         F.col(id_col).cast("bigint").alias("cand_id"),
         F.col(vec_col).cast("array<double>").alias("xv"),
     )
-    return (
-        pairs.join(qv, "query_id")
-        .join(xv, "cand_id")
-        .select(
-            "query_id",
-            "cand_id",
-            distance_expr(F.col("qv"), F.col("xv"), metric).alias("dist"),
-        )
-    )
+    return _rescore(pairs, qv, xv, metric)
 
 
 def estimate_bucket_width(
@@ -279,14 +297,7 @@ def lsh_candidates_from_index(
     pairs = pairs.distinct()
     qv = vecs_q.select(F.col("id").alias("query_id"), F.col("vec").cast("array<double>").alias("qv"))
     xv = vecs_x.select(F.col("id").alias("cand_id"), F.col("vec").cast("array<double>").alias("xv"))
-    return (
-        pairs.join(qv, "query_id")
-        .join(xv, "cand_id")
-        .select(
-            "query_id", "cand_id",
-            distance_expr(F.col("qv"), F.col("xv"), metric).alias("dist"),
-        )
-    )
+    return _rescore(pairs, qv, xv, metric)
 
 
 def lsh_recall(approx_nn: DataFrame, exact_nn: DataFrame) -> float:
