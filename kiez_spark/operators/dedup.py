@@ -1407,18 +1407,29 @@ def embedding_neardup_pairs(
                 F.col("dist").alias("cos_dist"),
             )
         )
+    # per-id norms ride the vector projection so each of the O(n^2)
+    # pairs pays ONE interpreted array traversal (the dot), not three;
+    # the pair expression keeps cosine_distance's exact operand shape
+    # (denom = l2(a)*l2(b), 1 - dot/denom), so the f64 results are
+    # bit-identical (the lsh._rescore convention)
+    from kiez_spark.functions.vectors import dot, l2_norm
+
     v = emb.select(
         F.col(id_col).cast("bigint").alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    )
+    ).withColumn("nrm", l2_norm(F.col("vec")))
     a, b = v.alias("a"), v.alias("b")
+    denom = F.col("a.nrm") * F.col("b.nrm")
+    cos_dist = F.when(denom == 0.0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - dot(F.col("a.vec"), F.col("b.vec")) / denom
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("src_id"),
             F.col("b.id").alias("tgt_id"),
-            cosine_distance(F.col("a.vec"), F.col("b.vec")).alias("cos_dist"),
+            cos_dist.alias("cos_dist"),
         )
         .filter(F.col("cos_dist") <= max_cos_dist)
     )

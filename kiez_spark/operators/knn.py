@@ -105,8 +105,25 @@ def knn_join_expr(
     queries, index, metric = apply_metric_rewrites(
         queries, index, metric, metric_params, vec_col
     )
-    q = _prep(queries, id_col, vec_col, block_col).alias("q")
-    x = _prep(index, id_col, vec_col, block_col).alias("x")
+    q = _prep(queries, id_col, vec_col, block_col)
+    x = _prep(index, id_col, vec_col, block_col)
+    if metric in ("cosine", "cos"):
+        # per-id norms ride the row projections so each pair pays one
+        # interpreted array traversal (the dot), not three; operand
+        # shape matches cosine_distance exactly — f64-identical (the
+        # lsh._rescore convention)
+        from kiez_spark.functions.vectors import dot, l2_norm
+
+        q = q.withColumn("_n", l2_norm(F.col("vec")))
+        x = x.withColumn("_n", l2_norm(F.col("vec")))
+        denom = F.col("q._n") * F.col("x._n")
+        dist = F.when(denom == 0.0, F.lit(1.0)).otherwise(
+            F.lit(1.0) - dot(F.col("q.vec"), F.col("x.vec")) / denom
+        )
+    else:
+        dist = distance_expr(F.col("q.vec"), F.col("x.vec"), metric)
+    q = q.alias("q")
+    x = x.alias("x")
     if broadcast_index:
         x = F.broadcast(x)
     if block_col:
@@ -118,7 +135,7 @@ def knn_join_expr(
     cands = joined.select(
         F.col("q.id").alias("query_id"),
         F.col("x.id").alias("cand_id"),
-        distance_expr(F.col("q.vec"), F.col("x.vec"), metric).alias("dist"),
+        dist.alias("dist"),
     )
     return topk(cands, k)
 
