@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kiez_spark.functions import text as T
-from kiez_spark.functions.vectors import cosine_distance
 
 
 def exact_duplicates(
